@@ -12,11 +12,17 @@ import os
 import sys
 import types
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+os.environ["JAX_PLATFORMS"] = "cpu"
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
         flags + " --xla_force_host_platform_device_count=8").strip()
+
+# this jax build ignores the JAX_PLATFORMS env var (the 'axon' TPU plugin
+# wins regardless); only the config flag reliably forces the CPU backend
+import jax
+
+jax.config.update("jax_platforms", "cpu")
 
 import pytest
 

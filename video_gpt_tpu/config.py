@@ -1,0 +1,135 @@
+"""Typed configuration for the whole framework.
+
+Replaces the reference's per-driver argparse sprawl + DeepSpeed JSON
+(LVM/train/*.py:466-601, LVM/acceleration/config/*.json) with dataclasses.
+"""
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional, Tuple
+
+from .tokens import DEFAULT_TOKEN_IDS, TokenIds
+
+
+@dataclasses.dataclass(frozen=True)
+class ModelConfig:
+    """DiT-over-Phi3 next-clip diffusion model.
+
+    Reference-scale defaults: Phi-3-mini class backbone, hidden 3072
+    (LVM/processor.py:427), patch 2, 4 latent channels (LVM/model.py:161-192).
+    """
+
+    # backbone (Phi-3 style decoder)
+    hidden_size: int = 3072
+    num_layers: int = 32
+    num_heads: int = 32
+    num_kv_heads: int = 32
+    intermediate_size: int = 8192
+    vocab_size: int = 32064
+    rope_theta: float = 10000.0
+    rms_norm_eps: float = 1e-5
+    # DiT wrapper
+    patch_size: int = 2
+    in_channels: int = 4
+    pe_interpolation: float = 1.0
+    pos_embed_max_size: int = 192
+    freq_embed_size: int = 256
+    # execution
+    attn_impl: str = "auto"  # 'auto' | 'reference' | 'pallas'
+    remat: bool = False      # jax.checkpoint each decoder layer
+    token_ids: TokenIds = DEFAULT_TOKEN_IDS
+
+    @property
+    def head_dim(self) -> int:
+        return self.hidden_size // self.num_heads
+
+    @classmethod
+    def tiny(cls, **kw) -> "ModelConfig":
+        """Small config for tests."""
+        d = dict(hidden_size=64, num_layers=2, num_heads=4, num_kv_heads=4,
+                 intermediate_size=128, vocab_size=32064,
+                 pos_embed_max_size=16)
+        d.update(kw)
+        return cls(**d)
+
+
+@dataclasses.dataclass(frozen=True)
+class SchedulerConfig:
+    """Flow-matching Euler sampler (LVM/scheduler.py:119-130)."""
+
+    num_steps: int = 50
+    time_shifting_factor: float = 1.0
+    prediction_type: str = "x1"  # 'x1' | 'v'
+
+
+@dataclasses.dataclass(frozen=True)
+class MeshConfig:
+    """Device mesh: data-parallel × sequence-parallel axes."""
+
+    data: int = 1
+    seq: int = 1
+
+    @property
+    def num_devices(self) -> int:
+        return self.data * self.seq
+
+
+@dataclasses.dataclass(frozen=True)
+class TrainConfig:
+    """Stage-1..4 training recipes (LVM/script/train/pretrain_stage*_nv.sh)."""
+
+    # data
+    frame_num: int = 16
+    frame_interval: int = 4
+    flexible_interval: bool = False
+    interval_bound: Optional[int] = None
+    frame_block_scheme: str = "interleaved"  # 'interleaved' | 'frame_block'
+    max_image_size: int = 320
+    max_input_length_limit: int = 18000
+    batch_size_per_device: int = 1
+    # optimisation (pretrain_stage1_nv.sh:40-47)
+    lr: float = 1e-4
+    lr_scheduler: str = "constant_with_warmup"
+    lr_warmup_steps: int = 1000
+    adam_beta1: float = 0.9
+    adam_beta2: float = 0.95
+    adam_weight_decay: float = 0.1
+    adam_epsilon: float = 1e-8
+    max_grad_norm: float = 1.0
+    gradient_accumulation_steps: int = 1
+    mixed_precision: str = "bf16"  # 'bf16' | 'no'
+    gradient_checkpointing: bool = True
+    # loss (LVM/train_helper/loss.py:116-119; train_x1_stage1:594)
+    input_noise: float = 0.9
+    cls_weight: Optional[float] = None
+    input_output_return: bool = False
+    # EMA / LoRA
+    use_ema: bool = False
+    ema_decay: float = 0.9999
+    use_lora: bool = False
+    lora_rank: int = 8
+    # run control
+    epochs: int = 1400
+    log_every: int = 100
+    ckpt_every: int = 20000
+    auto_resume: bool = True
+    results_dir: str = "results"
+    seed: int = 0
+
+
+def stage_config(stage: int, **overrides) -> TrainConfig:
+    """The 4-stage curriculum (pretrain_stage{1..4}_nv.sh)."""
+    base = {
+        1: dict(frame_num=16, frame_interval=4,
+                frame_block_scheme="interleaved"),
+        2: dict(frame_num=48, frame_interval=4,
+                frame_block_scheme="frame_block", ckpt_every=1000),
+        3: dict(frame_num=48, frame_interval=4, flexible_interval=True,
+                interval_bound=12, frame_block_scheme="frame_block",
+                ckpt_every=1000),
+        4: dict(frame_num=80, frame_interval=4, flexible_interval=True,
+                interval_bound=12, frame_block_scheme="frame_block",
+                max_input_length_limit=1_280_000, ckpt_every=1000),
+    }[stage]
+    base.update(overrides)
+    return TrainConfig(**base)

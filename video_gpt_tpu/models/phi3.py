@@ -1,0 +1,171 @@
+"""Phi-3-style decoder backbone in Flax.
+
+Functional re-design of the reference's HF-subclassed backbone
+(OmniGen/transformer.py:35-232): RMSNorm, full-dim RoPE with explicit position
+ids, fused qkv, SwiGLU MLP. Layers run under ``nn.scan`` (one compiled layer
+body, stacked params) which keeps XLA compile time flat in depth; gradient
+checkpointing is an ``nn.remat`` wrapper rather than the reference's
+per-layer torch.utils.checkpoint calls (OmniGen/transformer.py:182-192).
+
+The KV cache is an explicit pytree (k/v stacked over layers) instead of the
+reference's mutable DynamicCache with CUDA-stream offload (LVM/scheduler.py:
+12-115): prefill returns it, decode consumes it, everything stays jittable.
+"""
+from __future__ import annotations
+
+from typing import NamedTuple, Optional, Tuple
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from ..config import ModelConfig
+from ..ops.attention import AttnMeta, attend
+
+
+class KVCache(NamedTuple):
+    """Stacked per-layer keys/values: [num_layers, B, L_ctx, H_kv, D]."""
+
+    k: jax.Array
+    v: jax.Array
+
+    @property
+    def length(self) -> int:
+        return self.k.shape[2]
+
+
+class RMSNorm(nn.Module):
+    eps: float = 1e-5
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jax.Array) -> jax.Array:
+        w = self.param("weight", nn.initializers.ones, (x.shape[-1],),
+                       jnp.float32)
+        xf = x.astype(jnp.float32)
+        xf = xf * jax.lax.rsqrt(jnp.mean(xf * xf, -1, keepdims=True)
+                                + self.eps)
+        # match HF ordering: normalise in fp32, cast back, then scale
+        return xf.astype(self.dtype) * w.astype(self.dtype)
+
+
+def rope_tables(pos_ids: jax.Array, head_dim: int, theta: float,
+                dtype: jnp.dtype) -> Tuple[jax.Array, jax.Array]:
+    """cos/sin [B, L, head_dim] for explicit (shared) position ids."""
+    inv_freq = 1.0 / (theta ** (jnp.arange(0, head_dim, 2, dtype=jnp.float32)
+                                / head_dim))
+    freqs = pos_ids.astype(jnp.float32)[..., None] * inv_freq[None, None, :]
+    emb = jnp.concatenate([freqs, freqs], axis=-1)
+    return jnp.cos(emb).astype(dtype), jnp.sin(emb).astype(dtype)
+
+
+def apply_rope(x: jax.Array, cos: jax.Array, sin: jax.Array) -> jax.Array:
+    """x: [B, L, H, D]; cos/sin: [B, L, D] (rotate-half convention)."""
+    half = x.shape[-1] // 2
+    x1, x2 = x[..., :half], x[..., half:]
+    rotated = jnp.concatenate([-x2, x1], axis=-1)
+    return x * cos[:, :, None, :] + rotated * sin[:, :, None, :]
+
+
+class Phi3Attention(nn.Module):
+    cfg: ModelConfig
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, cos, sin, q_meta, k_meta,
+                 cache: Optional[Tuple[jax.Array, jax.Array]] = None):
+        cfg = self.cfg
+        h, hkv, d = cfg.num_heads, cfg.num_kv_heads, cfg.head_dim
+        b, l, _ = x.shape
+        qkv = nn.Dense((h + 2 * hkv) * d, use_bias=False, dtype=self.dtype,
+                       name="qkv_proj")(x)
+        q, k, v = jnp.split(qkv, [h * d, (h + hkv) * d], axis=-1)
+        q = q.reshape(b, l, h, d)
+        k = k.reshape(b, l, hkv, d)
+        v = v.reshape(b, l, hkv, d)
+        q = apply_rope(q, cos, sin)
+        k = apply_rope(k, cos, sin)
+        new_kv = (k, v)
+        if cache is not None:
+            # cached keys carry RoPE already (positions are constant across
+            # denoise steps within a block)
+            k = jnp.concatenate([cache[0].astype(k.dtype), k], axis=1)
+            v = jnp.concatenate([cache[1].astype(v.dtype), v], axis=1)
+        out = attend(q, k, v, q_meta, k_meta, impl=cfg.attn_impl)
+        out = out.reshape(b, l, h * d)
+        out = nn.Dense(cfg.hidden_size, use_bias=False, dtype=self.dtype,
+                       name="o_proj")(out)
+        return out, new_kv
+
+
+class Phi3Mlp(nn.Module):
+    cfg: ModelConfig
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        gate_up = nn.Dense(2 * self.cfg.intermediate_size, use_bias=False,
+                           dtype=self.dtype, name="gate_up_proj")(x)
+        gate, up = jnp.split(gate_up, 2, axis=-1)
+        return nn.Dense(self.cfg.hidden_size, use_bias=False,
+                        dtype=self.dtype, name="down_proj")(
+            nn.silu(gate) * up)
+
+
+class Phi3Layer(nn.Module):
+    cfg: ModelConfig
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, carry, scanned):
+        x, cos, sin, q_meta, k_meta = carry
+        cache = scanned
+        attn_in = RMSNorm(self.cfg.rms_norm_eps, self.dtype,
+                          name="input_layernorm")(x)
+        attn_out, new_kv = Phi3Attention(self.cfg, self.dtype,
+                                         name="self_attn")(
+            attn_in, cos, sin, q_meta, k_meta, cache)
+        x = x + attn_out
+        mlp_in = RMSNorm(self.cfg.rms_norm_eps, self.dtype,
+                         name="post_attention_layernorm")(x)
+        x = x + Phi3Mlp(self.cfg, self.dtype, name="mlp")(mlp_in)
+        return (x, cos, sin, q_meta, k_meta), new_kv
+
+
+class Phi3Decoder(nn.Module):
+    """Decoder trunk. Returns final-norm hidden states + per-layer KV."""
+
+    cfg: ModelConfig
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, inputs_embeds: jax.Array, pos_ids: jax.Array,
+                 q_meta: AttnMeta, k_meta: AttnMeta,
+                 cache: Optional[KVCache] = None
+                 ) -> Tuple[jax.Array, KVCache]:
+        cfg = self.cfg
+        cos, sin = rope_tables(pos_ids, cfg.head_dim, cfg.rope_theta,
+                               self.dtype)
+        layer = Phi3Layer
+        if cfg.remat:
+            layer = nn.remat(
+                layer, prevent_cse=False,
+                policy=jax.checkpoint_policies.nothing_saveable)
+        stack = nn.scan(
+            layer,
+            variable_axes={"params": 0},
+            split_rngs={"params": True},
+            in_axes=0,
+            out_axes=0,
+            length=cfg.num_layers,
+        )(cfg, self.dtype, name="layers")
+        if cache is None:
+            # zero-length context: unifies the cached/uncached code paths
+            b = inputs_embeds.shape[0]
+            empty = jnp.zeros((cfg.num_layers, b, 0, cfg.num_kv_heads,
+                               cfg.head_dim), self.dtype)
+            cache = KVCache(empty, empty)
+        carry = (inputs_embeds, cos, sin, q_meta, k_meta)
+        (x, *_), kv = stack(carry, (cache.k, cache.v))
+        x = RMSNorm(cfg.rms_norm_eps, self.dtype, name="norm")(x)
+        return x, KVCache(*kv)

@@ -1,0 +1,196 @@
+"""VideoGPT: DiT-over-Phi3 next-clip diffusion model.
+
+TPU-native re-design of LVM/model.py (LVM / LVMTraining / LVMTraining_CP —
+one module covers all three: parallelism lives outside the model, and the
+train-specific init is a flag). The reference assembles its embedding
+sequence with Python loops over dict indices (LVM/model.py:436-454); here the
+layout's precomputed gather maps do it with three vectorised selects, so the
+whole forward is a single jittable function.
+
+Forward variants:
+- ``__call__``: full-sequence forward (training + uncached inference).
+- ``prefill``: run the clean-context prefix once, return the KV cache.
+- ``decode``: one denoise evaluation over only the noisy tail against the
+  cached prefix — the fast path the reference disabled (LVM/scheduler.py:174,
+  restoring OmniGen/scheduler.py:155-176 semantics).
+"""
+from __future__ import annotations
+
+from typing import NamedTuple, Optional, Tuple
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..config import ModelConfig
+from ..ops.attention import AttnMeta
+from .embedders import (FinalLayer, PatchEmbed, TimestepEmbedder,
+                        crop_pos_embed, sincos_2d_pos_embed, unpatchify)
+from .phi3 import KVCache, Phi3Decoder
+
+
+class Batch(NamedTuple):
+    """Device-side view of a SequenceLayout (all jnp int32)."""
+
+    input_ids: jax.Array    # [B, L]
+    pos_ids: jax.Array      # [B, L]
+    noisy_src: jax.Array    # [B, L] -> [Nn*n] or -1
+    clean_src: jax.Array    # [B, L] -> [Nc*n] or -1
+    time_src: jax.Array     # [B, L] -> [Nn] or -1
+    noisy_gather: jax.Array  # [Nn, n] flat b*L+pos
+    clean_gather: jax.Array  # [Nc, n]
+    meta: AttnMeta
+
+    @classmethod
+    def from_layout(cls, layout) -> "Batch":
+        return cls(
+            input_ids=jnp.asarray(layout.input_ids),
+            pos_ids=jnp.asarray(layout.pos_ids),
+            noisy_src=jnp.asarray(layout.noisy_src),
+            clean_src=jnp.asarray(layout.clean_src),
+            time_src=jnp.asarray(layout.time_src),
+            noisy_gather=jnp.asarray(layout.noisy_gather),
+            clean_gather=jnp.asarray(layout.clean_gather),
+            meta=AttnMeta.from_layout(layout),
+        )
+
+
+def _scatter(emb: jax.Array, src: jax.Array, values: jax.Array) -> jax.Array:
+    """Replace emb[b, l] with values[src[b, l]] where src >= 0."""
+    flat = values.reshape(-1, values.shape[-1])
+    taken = jnp.take(flat, jnp.clip(src, 0), axis=0)
+    return jnp.where((src >= 0)[..., None], taken.astype(emb.dtype), emb)
+
+
+class VideoGPT(nn.Module):
+    cfg: ModelConfig
+    dtype: jnp.dtype = jnp.float32
+    train_init: bool = False   # zero-init x_embedder (LVM/model.py:639)
+    input_head: bool = False   # aux input-reconstruction head
+                               # (LVM/model.py:668-675)
+
+    def setup(self):
+        cfg = self.cfg
+        self._pos_table = sincos_2d_pos_embed(
+            cfg.hidden_size, cfg.pos_embed_max_size,
+            interpolation_scale=cfg.pe_interpolation, base_size=64)
+        self.embed_tokens = nn.Embed(
+            cfg.vocab_size, cfg.hidden_size, dtype=self.dtype,
+            embedding_init=nn.initializers.normal(0.02), name="embed_tokens")
+        self.x_embedder = PatchEmbed(cfg.hidden_size, cfg.patch_size,
+                                     self.dtype, zero_init=self.train_init,
+                                     name="x_embedder")
+        self.input_x_embedder = PatchEmbed(cfg.hidden_size, cfg.patch_size,
+                                           self.dtype,
+                                           name="input_x_embedder")
+        self.time_token = TimestepEmbedder(cfg.hidden_size,
+                                           cfg.freq_embed_size, self.dtype,
+                                           name="time_token")
+        self.t_embedder = TimestepEmbedder(cfg.hidden_size,
+                                           cfg.freq_embed_size, self.dtype,
+                                           name="t_embedder")
+        self.final_layer = FinalLayer(cfg.patch_size, cfg.in_channels,
+                                      self.dtype, name="final_layer")
+        if self.input_head:
+            self.input_final_layer = nn.Dense(
+                cfg.patch_size ** 2 * cfg.in_channels, dtype=self.dtype,
+                kernel_init=nn.initializers.zeros,
+                bias_init=nn.initializers.zeros, name="input_final_layer")
+        self.llm = Phi3Decoder(cfg, self.dtype, name="llm")
+
+    # ---- embedding assembly ------------------------------------------------
+
+    def _pos_embed(self, hl: int, wl: int) -> jax.Array:
+        p = self.cfg.patch_size
+        table = crop_pos_embed(self._pos_table, self.cfg.pos_embed_max_size,
+                               hl // p, wl // p)
+        return jnp.asarray(table, self.dtype)
+
+    def _embed_frames(self, latents: jax.Array, is_input: bool) -> jax.Array:
+        """[N, hl, wl, C] -> [N, n_img, D] with 2D sincos position bias."""
+        embedder = self.input_x_embedder if is_input else self.x_embedder
+        tok = embedder(latents)
+        return tok + self._pos_embed(latents.shape[1], latents.shape[2])[None]
+
+    def _assemble(self, ids, noisy_src, clean_src, time_src,
+                  noisy_latents, t, clean_latents):
+        emb = self.embed_tokens(ids)
+        if noisy_latents is not None and noisy_latents.shape[0] > 0:
+            x = self._embed_frames(noisy_latents, is_input=False)
+            emb = _scatter(emb, noisy_src, x)
+            emb = _scatter(emb, time_src, self.time_token(t))
+        if clean_latents is not None and clean_latents.shape[0] > 0:
+            c = self._embed_frames(clean_latents, is_input=True)
+            emb = _scatter(emb, clean_src, c)
+        return emb
+
+    def _heads(self, hidden, gather, t, shape, aux=False):
+        """Per-frame head: gather patch states, adaLN head, unpatchify."""
+        n_frames, hl, wl = shape
+        flat = hidden.reshape(-1, hidden.shape[-1])
+        img = jnp.take(flat, gather.reshape(-1), axis=0)
+        img = img.reshape(n_frames, -1, hidden.shape[-1])
+        if aux:
+            out = self.input_final_layer(img)
+        else:
+            out = self.final_layer(img, self.t_embedder(t))
+        return unpatchify(out, hl, wl, self.cfg.patch_size,
+                          self.cfg.in_channels)
+
+    # ---- forward variants --------------------------------------------------
+
+    def __call__(self, batch: Batch, noisy_latents: jax.Array, t: jax.Array,
+                 clean_latents: Optional[jax.Array] = None,
+                 input_output_return: bool = False):
+        """Full-sequence forward. Returns x1-prediction per noisy frame
+        [Nn, hl, wl, C] (+ optional clean-frame reconstruction)."""
+        emb = self._assemble(batch.input_ids, batch.noisy_src,
+                             batch.clean_src, batch.time_src,
+                             noisy_latents, t, clean_latents)
+        hidden, _ = self.llm(emb, batch.pos_ids, batch.meta, batch.meta)
+        nn_, hl, wl, _ = noisy_latents.shape
+        pred = self._heads(hidden, batch.noisy_gather, t, (nn_, hl, wl))
+        if input_output_return:
+            nc = clean_latents.shape[0]
+            aux = self._heads(hidden, batch.clean_gather, None,
+                              (nc, clean_latents.shape[1],
+                               clean_latents.shape[2]), aux=True)
+            return pred, aux
+        return pred
+
+    def prefill(self, batch: Batch, clean_latents: Optional[jax.Array],
+                prefix_len: int) -> KVCache:
+        """Run the clean-context prefix once; return per-layer K/V."""
+        lp = prefix_len
+        ids = batch.input_ids[:, :lp]
+        emb = self.embed_tokens(ids)
+        if clean_latents is not None and clean_latents.shape[0] > 0:
+            c = self._embed_frames(clean_latents, is_input=True)
+            emb = _scatter(emb, batch.clean_src[:, :lp], c)
+        meta_p = AttnMeta(*(x[:, :lp] for x in batch.meta))
+        _, cache = self.llm(emb, batch.pos_ids[:, :lp], meta_p, meta_p)
+        return cache
+
+    def decode(self, batch: Batch, noisy_latents: jax.Array, t: jax.Array,
+               cache: KVCache, tail_len: int) -> jax.Array:
+        """One denoise evaluation over the noisy tail against the cache."""
+        lt = tail_len
+        full_l = batch.input_ids.shape[1]
+        ids = batch.input_ids[:, -lt:]
+        emb = self.embed_tokens(ids)
+        x = self._embed_frames(noisy_latents, is_input=False)
+        # tail-local views of the gather maps
+        noisy_src = batch.noisy_src[:, -lt:]
+        time_src = batch.time_src[:, -lt:]
+        emb = _scatter(emb, noisy_src, x)
+        emb = _scatter(emb, time_src, self.time_token(t))
+        q_meta = batch.meta.tail(lt)
+        hidden, _ = self.llm(emb, batch.pos_ids[:, -lt:], q_meta, batch.meta,
+                             cache=cache)
+        # remap full-sequence gather indices onto the tail
+        g = batch.noisy_gather
+        b_idx, pos = g // full_l, g % full_l
+        g_tail = b_idx * lt + (pos - (full_l - lt))
+        nn_, hl, wl, _ = noisy_latents.shape
+        return self._heads(hidden, g_tail, t, (nn_, hl, wl))

@@ -1,0 +1,113 @@
+"""Attention with frame-block visibility computed from token metadata.
+
+The reference ships dense O(L²) uint8 masks from host to device and converts
+them to additive biases per backend (OmniGen/transformer.py:128-151). Here the
+mask never exists on the host: :class:`AttnMeta` carries five per-token int32
+vectors and the visibility rule (DESIGN.md) is evaluated where it is needed —
+inside the kernel (Pallas path) or as a fused jnp expression (reference path).
+"""
+from __future__ import annotations
+
+from typing import NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+
+from ..tokens import Kind
+
+
+class AttnMeta(NamedTuple):
+    """Per-token mask metadata, all int32 [B, L] (see layout.SequenceLayout)."""
+
+    index: jax.Array        # global sequence position of each token
+    vis_start: jax.Array    # key side: visible to queries q >= vis_start
+    noisy_block: jax.Array  # key side: frame-block id of noisy keys else -1
+    noisy_role: jax.Array   # key side: 0 diff / 1 time / 2 patch
+    q_block: jax.Array      # query side: noisy frame-block id else -1
+    q_offset: jax.Array     # query side: offset within the noisy frame
+    is_pad: jax.Array       # bool-ish: 1 where PAD
+
+    @classmethod
+    def from_layout(cls, layout) -> "AttnMeta":
+        b, l = layout.kind.shape
+        idx = jnp.broadcast_to(jnp.arange(l, dtype=jnp.int32)[None], (b, l))
+        return cls(
+            index=idx,
+            vis_start=jnp.asarray(layout.vis_start),
+            noisy_block=jnp.asarray(layout.noisy_block),
+            noisy_role=jnp.asarray(layout.noisy_role),
+            q_block=jnp.asarray(layout.q_block),
+            q_offset=jnp.asarray(layout.q_offset),
+            is_pad=jnp.asarray(layout.kind == int(Kind.PAD)).astype(jnp.int32),
+        )
+
+    def tail(self, tail_len: int) -> "AttnMeta":
+        """Metadata slice for the trailing ``tail_len`` tokens (the noisy clip
+        in inference layouts) — the query side of cached decoding."""
+        return AttnMeta(*(x[:, -tail_len:] for x in self))
+
+
+def visibility(q: AttnMeta, k: AttnMeta) -> jax.Array:
+    """[B, Lq, Lk] bool: may query q attend key k.
+
+    Rule (bit-exact vs LVM/processor.py:575-731, see tests/test_layout_golden):
+      pad rows attend everything; clean/causal keys from ``vis_start``;
+      noisy keys only within the same frame-block with role offsets.
+    """
+    causal = q.index[:, :, None] >= k.vis_start[:, None, :]
+    noisy = (
+        (k.noisy_block[:, None, :] >= 0)
+        & (k.noisy_block[:, None, :] == q.q_block[:, :, None])
+        & (q.q_offset[:, :, None] >= k.noisy_role[:, None, :])
+    )
+    pad_row = q.is_pad[:, :, None] > 0
+    return causal | noisy | pad_row
+
+
+def attention_bias(q: AttnMeta, k: AttnMeta,
+                   dtype: jnp.dtype = jnp.float32) -> jax.Array:
+    """Additive [B, 1, Lq, Lk] bias: 0 where visible, finfo.min where not."""
+    vis = visibility(q, k)
+    neg = jnp.asarray(jnp.finfo(dtype).min, dtype)
+    return jnp.where(vis, jnp.zeros((), dtype), neg)[:, None, :, :]
+
+
+def mha_reference(q: jax.Array, k: jax.Array, v: jax.Array,
+                  bias: Optional[jax.Array]) -> jax.Array:
+    """Plain masked attention; q [B,Lq,H,D], k/v [B,Lk,Hkv,D] -> [B,Lq,H,D].
+
+    fp32 softmax; XLA fuses the bias add. Used for parity tests and as the
+    fallback when the Pallas kernel doesn't apply.
+    """
+    b, lq, h, d = q.shape
+    hkv = k.shape[2]
+    if hkv != h:
+        rep = h // hkv
+        k = jnp.repeat(k, rep, axis=2)
+        v = jnp.repeat(v, rep, axis=2)
+    scale = d ** -0.5
+    logits = jnp.einsum("bqhd,bkhd->bhqk", q, k,
+                        preferred_element_type=jnp.float32) * scale
+    if bias is not None:
+        logits = logits + bias.astype(jnp.float32)
+    probs = jax.nn.softmax(logits, axis=-1)
+    out = jnp.einsum("bhqk,bkhd->bqhd", probs.astype(v.dtype), v)
+    return out
+
+
+def attend(q: jax.Array, k: jax.Array, v: jax.Array,
+           q_meta: AttnMeta, k_meta: AttnMeta, impl: str = "auto"
+           ) -> jax.Array:
+    """Metadata-masked attention dispatch."""
+    if impl in ("auto", "pallas"):
+        try:
+            from .flash_attention import flash_attention_supported, flash_mha
+            if flash_attention_supported(q, k, v):
+                return flash_mha(q, k, v, q_meta, k_meta)
+        except ImportError:
+            pass
+        if impl == "pallas":
+            raise RuntimeError("pallas flash attention unavailable for these "
+                               f"shapes: q={q.shape} k={k.shape}")
+    bias = attention_bias(q_meta, k_meta, jnp.float32)
+    return mha_reference(q, k, v, bias)
