@@ -1,0 +1,51 @@
+"""Pallas flash attention vs the jnp reference path (interpret mode on CPU)."""
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from video_gpt_tpu.layout import (frame_block_inference_layout, RowSpec,
+                                  build_layout, tokens_per_frame)
+from video_gpt_tpu.ops.attention import AttnMeta, attention_bias, mha_reference
+from video_gpt_tpu.ops.flash_attention import flash_mha
+
+
+def _rand_qkv(rng, b, lq, lk, h, hkv, d):
+    ks = jax.random.split(rng, 3)
+    q = jax.random.normal(ks[0], (b, lq, h, d), jnp.float32)
+    k = jax.random.normal(ks[1], (b, lk, hkv, d), jnp.float32)
+    v = jax.random.normal(ks[2], (b, lk, hkv, d), jnp.float32)
+    return q, k, v
+
+
+@pytest.mark.parametrize("scheme", ["inference", "training"])
+def test_flash_matches_reference_full(scheme):
+    n = tokens_per_frame(32, 48)
+    if scheme == "inference":
+        layout = frame_block_inference_layout(3, 2, n, use_cfg=True)
+    else:
+        layout = build_layout([RowSpec((2, 2), "training"),
+                               RowSpec((1, 1, 2), "training")], n)
+    meta = AttnMeta.from_layout(layout)
+    b, l = layout.batch, layout.length
+    q, k, v = _rand_qkv(jax.random.PRNGKey(0), b, l, l, 4, 4, 96)
+    ref = mha_reference(q, k, v, attention_bias(meta, meta))
+    out = flash_mha(q, k, v, meta, meta, block_q=128, interpret=True)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               atol=2e-5, rtol=2e-5)
+
+
+def test_flash_decode_tail_and_gqa():
+    """Cached-decode shape (Lq = noisy tail, Lk = full) + grouped KV heads."""
+    n = tokens_per_frame(32, 32)
+    layout = frame_block_inference_layout(4, 2, n, use_cfg=True)
+    meta = AttnMeta.from_layout(layout)
+    tail = layout.noisy_tail_len()
+    q_meta = meta.tail(tail)
+    b, l = layout.batch, layout.length
+    q, k, v = _rand_qkv(jax.random.PRNGKey(1), b, tail, l, 8, 2, 64)
+    ref = mha_reference(q, k, v, attention_bias(q_meta, meta))
+    out = flash_mha(q, k, v, q_meta, meta, block_q=128, interpret=True)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               atol=2e-5, rtol=2e-5)

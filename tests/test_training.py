@@ -1,0 +1,91 @@
+"""Training-stack tests: loss semantics, overfit smoke, multi-device step."""
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from video_gpt_tpu.config import MeshConfig, ModelConfig, TrainConfig
+from video_gpt_tpu.layout import RowSpec, build_layout
+from video_gpt_tpu.models.video_gpt import Batch, VideoGPT
+from video_gpt_tpu.training.loss import (LossInputs, sample_block_timesteps,
+                                         training_loss)
+from video_gpt_tpu.training.train_state import (init_train_state,
+                                                make_train_step)
+
+CFG = ModelConfig.tiny(attn_impl="reference")
+
+
+def _inputs(frame_blocks=(1, 2, 1), rows=1, n_img=4, hl=4, wl=4, seed=0):
+    layout = build_layout([RowSpec(tuple(frame_blocks), "training")
+                           for _ in range(rows)], n_img)
+    batch = Batch.from_layout(layout)
+    rng = np.random.default_rng(seed)
+    x1 = jnp.asarray(rng.normal(size=(layout.num_noisy_frames, hl, wl, 4))
+                     .astype(np.float32))
+    clean = jnp.asarray(rng.normal(
+        size=(layout.num_clean_frames, hl, wl, 4)).astype(np.float32))
+    return layout, LossInputs(
+        batch=batch, x1=x1, clean_latents=clean,
+        noisy_frame_row=jnp.asarray(layout.noisy_frame_row),
+        noisy_frame_block=jnp.asarray(layout.noisy_frame_block))
+
+
+def test_block_shared_timesteps():
+    """Frames of the same block share one t (loss.py:105-113)."""
+    layout, _ = _inputs(frame_blocks=(2, 3, 2), rows=2)
+    t = sample_block_timesteps(
+        jax.random.PRNGKey(0), jnp.asarray(layout.noisy_frame_row),
+        jnp.asarray(layout.noisy_frame_block), 2,
+        int(layout.noisy_frame_block.max()) + 1)
+    t = np.asarray(t)
+    for row in range(2):
+        for block in range(3):
+            sel = (layout.noisy_frame_row == row) & (
+                layout.noisy_frame_block == block)
+            assert len(set(t[sel].tolist())) == 1
+    # different blocks get different draws (w.h.p.)
+    assert len(set(np.round(t, 6).tolist())) > 3
+
+
+def test_training_loss_runs_and_zero_init_head():
+    """A train-init model (zero x_embedder + zero final head) predicts 0, so
+    the loss equals mean(x1^2) exactly — pins the x1-prediction target."""
+    layout, inputs = _inputs()
+    model = VideoGPT(CFG, dtype=jnp.float32, train_init=True)
+    params = model.init(jax.random.PRNGKey(0), inputs.batch, inputs.x1,
+                        jnp.zeros((layout.num_noisy_frames,)),
+                        inputs.clean_latents)
+    loss, aux = training_loss(model, params, jax.random.PRNGKey(1), inputs,
+                              max_blocks=3)
+    expect = np.mean(np.asarray(inputs.x1) ** 2, axis=(1, 2, 3))
+    np.testing.assert_allclose(np.asarray(aux["per_frame_loss"]), expect,
+                               rtol=1e-5)
+    assert np.isfinite(float(loss))
+
+
+def test_train_step_reduces_loss():
+    layout, inputs = _inputs()
+    tcfg = TrainConfig(lr=1e-3, lr_scheduler="constant", use_ema=True)
+    model = VideoGPT(CFG, dtype=jnp.float32, train_init=True)
+    params = model.init(jax.random.PRNGKey(0), inputs.batch, inputs.x1,
+                        jnp.zeros((layout.num_noisy_frames,)),
+                        inputs.clean_latents)
+    state = init_train_state(model, params, tcfg)
+    step = jax.jit(make_train_step(model, tcfg, max_blocks=3))
+    losses = []
+    for i in range(8):
+        state, m = step(state, jax.random.PRNGKey(42), inputs)  # fixed noise
+        losses.append(float(m["loss"]))
+    assert losses[-1] < losses[0], losses
+    assert state.ema_params is not None
+    assert int(state.step) == 8
+
+
+def test_multidevice_train_step():
+    """dp×sp mesh on the 8 fake CPU devices: the same path as
+    __graft_entry__.dryrun_multichip."""
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 fake devices")
+    import __graft_entry__
+    __graft_entry__.dryrun_multichip(8)

@@ -37,6 +37,8 @@ class ModelConfig:
     # execution
     attn_impl: str = "auto"  # 'auto' | 'reference' | 'pallas'
     remat: bool = False      # jax.checkpoint each decoder layer
+    seq_shard: bool = False  # constrain activations to P(data, seq, None)
+                             # under a mesh (sequence parallelism)
     token_ids: TokenIds = DEFAULT_TOKEN_IDS
 
     @property

@@ -129,6 +129,9 @@ class Phi3Layer(nn.Module):
         mlp_in = RMSNorm(self.cfg.rms_norm_eps, self.dtype,
                          name="post_attention_layernorm")(x)
         x = x + Phi3Mlp(self.cfg, self.dtype, name="mlp")(mlp_in)
+        if self.cfg.seq_shard:
+            from ..parallel.mesh import constrain_activations
+            x = constrain_activations(x)
         return (x, cos, sin, q_meta, k_meta), new_kv
 
 

@@ -1,0 +1,101 @@
+"""Optimizer, schedules, EMA, and the jitted train step.
+
+Replaces the reference's Accelerate+DeepSpeed wiring (train_x1_stage1:114-127,
+294-296) and manual grad-norm/EMA/clip loop (train:380-408):
+
+- AdamW via optax, LR schedules matching the drivers' choices
+  (constant / constant_with_warmup / cosine, train_x1_stage1:506-516)
+- global-norm clipping inside the optax chain (train:393)
+- EMA as a jitted tree-map (LVM/utils.py:27-34)
+- ZeRO-style optimizer-state sharding over the 'data' mesh axis, grads
+  reduce-scattered by the SPMD partitioner (replaces ZeRO-2 configs)
+"""
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Callable, NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from ..config import TrainConfig
+from ..models.video_gpt import VideoGPT
+from .loss import LossInputs, training_loss
+
+
+class TrainState(NamedTuple):
+    step: jax.Array
+    params: Any
+    opt_state: Any
+    ema_params: Optional[Any] = None
+
+
+def lr_schedule(cfg: TrainConfig) -> optax.Schedule:
+    if cfg.lr_scheduler == "constant":
+        return optax.constant_schedule(cfg.lr)
+    if cfg.lr_scheduler == "constant_with_warmup":
+        return optax.join_schedules(
+            [optax.linear_schedule(0.0, cfg.lr, cfg.lr_warmup_steps),
+             optax.constant_schedule(cfg.lr)], [cfg.lr_warmup_steps])
+    if cfg.lr_scheduler == "cosine":
+        return optax.warmup_cosine_decay_schedule(
+            0.0, cfg.lr, cfg.lr_warmup_steps, max(cfg.epochs * 1000, 1))
+    raise ValueError(cfg.lr_scheduler)
+
+
+def make_optimizer(cfg: TrainConfig) -> optax.GradientTransformation:
+    tx = optax.chain(
+        optax.clip_by_global_norm(cfg.max_grad_norm),
+        optax.adamw(lr_schedule(cfg), b1=cfg.adam_beta1, b2=cfg.adam_beta2,
+                    eps=cfg.adam_epsilon, weight_decay=cfg.adam_weight_decay),
+    )
+    if cfg.gradient_accumulation_steps > 1:
+        tx = optax.MultiSteps(tx, cfg.gradient_accumulation_steps)
+    return tx
+
+
+def init_train_state(model: VideoGPT, params, cfg: TrainConfig) -> TrainState:
+    tx = make_optimizer(cfg)
+    return TrainState(
+        step=jnp.zeros((), jnp.int32),
+        params=params,
+        opt_state=tx.init(params["params"] if "params" in params else params),
+        ema_params=jax.tree.map(jnp.copy, params) if cfg.use_ema else None,
+    )
+
+
+def ema_update(ema, params, decay: float):
+    """EMA tree-map (LVM/utils.py:27-34)."""
+    return jax.tree.map(lambda e, p: e * decay + p.astype(e.dtype)
+                        * (1.0 - decay), ema, params)
+
+
+def make_train_step(model: VideoGPT, cfg: TrainConfig, max_blocks: int
+                    ) -> Callable:
+    """Jittable (state, rng, inputs) -> (state, metrics)."""
+    tx = make_optimizer(cfg)
+
+    def step(state: TrainState, rng: jax.Array, inputs: LossInputs):
+        def loss_fn(p):
+            return training_loss(
+                model, {"params": p}, rng, inputs, max_blocks=max_blocks,
+                input_noise=cfg.input_noise,
+                input_output_return=cfg.input_output_return)
+
+        inner = state.params["params"]
+        (loss, aux), grads = jax.value_and_grad(loss_fn, has_aux=True)(inner)
+        updates, opt_state = tx.update(grads, state.opt_state, inner)
+        new_inner = optax.apply_updates(inner, updates)
+        new_params = {"params": new_inner}
+        ema = state.ema_params
+        if ema is not None:
+            ema = ema_update(ema, new_params, cfg.ema_decay)
+        metrics = {
+            "loss": loss,
+            "grad_norm": optax.global_norm(grads),
+            "per_frame_loss": aux["per_frame_loss"],
+        }
+        return TrainState(state.step + 1, new_params, opt_state, ema), metrics
+
+    return step
