@@ -1,0 +1,213 @@
+"""Command-line entry points: ``train`` and ``generate``.
+
+One typed CLI replacing the reference's per-driver argparse + shell-script
+sprawl (LVM/train/train_x1_stage*.py:466-601, LVM/script/**). Flag names
+follow the reference where they map 1:1.
+"""
+from __future__ import annotations
+
+import argparse
+import os
+
+
+def _model_cfg(args):
+    from .config import ModelConfig
+    if args.tiny_model:
+        return ModelConfig.tiny(pos_embed_max_size=192)
+    return ModelConfig()
+
+
+def cmd_train(args):
+    import jax.numpy as jnp
+
+    from .config import stage_config
+    from .models.vae import VAEConfig
+    from .training.trainer import Trainer
+    from .utils.cache import enable_compilation_cache
+
+    enable_compilation_cache()
+    cfg = stage_config(
+        args.stage,
+        frame_num=args.frame_num or {1: 16, 2: 48, 3: 48, 4: 80}[args.stage],
+        batch_size_per_device=args.batch_size_per_device,
+        lr=args.lr,
+        results_dir=args.results_dir,
+        log_every=args.log_every,
+        ckpt_every=args.ckpt_every,
+        mixed_precision=args.mixed_precision,
+        use_ema=args.use_ema,
+        input_noise=args.input_noise,
+        auto_resume=not args.no_auto_resume,
+    )
+    vae_cfg = VAEConfig.tiny() if args.tiny_model else VAEConfig()
+    vae_params = None
+    init_params = None
+    if args.vae_ckpt:
+        from .models.vae import vae_params_from_diffusers
+        from .utils.torch_import import load_reference_checkpoint
+        vae_params = {"params": vae_params_from_diffusers(
+            load_reference_checkpoint(args.vae_ckpt), vae_cfg)}
+    if args.model_ckpt:
+        from .utils.torch_import import (load_reference_checkpoint,
+                                         videogpt_params_from_torch)
+        init_params = {"params": videogpt_params_from_torch(
+            load_reference_checkpoint(args.model_ckpt), _model_cfg(args))}
+
+    writer = None
+    if args.report_to == "tensorboard":
+        try:
+            from tensorboardX import SummaryWriter
+            writer = SummaryWriter(os.path.join(args.results_dir,
+                                                "tensorboard_log"))
+        except Exception:
+            pass
+    trainer = Trainer(
+        _model_cfg(args), cfg, args.video_dir_path,
+        vae_cfg=vae_cfg, vae_params=vae_params, init_params=init_params,
+        target_resolution=tuple(args.target_resolution), seed=args.seed)
+    trainer.run(args.max_steps, log_writer=writer)
+
+
+def cmd_generate(args):
+    import cv2
+    import jax
+    import jax.numpy as jnp
+
+    from .models.vae import AutoencoderKL, VAEConfig
+    from .models.video_gpt import VideoGPT
+    from .sampling.pipeline import VideoGPTPipeline
+    from .utils.cache import enable_compilation_cache
+
+    enable_compilation_cache()
+    model_cfg = _model_cfg(args)
+    vae_cfg = VAEConfig.tiny() if args.tiny_model else VAEConfig()
+    dtype = jnp.bfloat16 if args.dtype == "bf16" else jnp.float32
+    model = VideoGPT(model_cfg, dtype=dtype)
+    vae = AutoencoderKL(vae_cfg, dtype=dtype)
+
+    if args.model_ckpt:
+        from .utils.torch_import import (load_reference_checkpoint,
+                                         videogpt_params_from_torch)
+        params = {"params": videogpt_params_from_torch(
+            load_reference_checkpoint(args.model_ckpt), model_cfg)}
+    else:
+        params = None
+    if args.vae_ckpt:
+        from .models.vae import vae_params_from_diffusers
+        from .utils.torch_import import load_reference_checkpoint
+        vae_params = {"params": vae_params_from_diffusers(
+            load_reference_checkpoint(args.vae_ckpt), vae_cfg)}
+    else:
+        vae_params = None
+
+    # read conditioning frames: every 4th frame, like the reference driver
+    # (LVM/inference/...:84-87)
+    cap = cv2.VideoCapture(args.video_path)
+    frames = []
+    for i in range(args.clean_image_num):
+        cap.set(cv2.CAP_PROP_POS_FRAMES, i * 4)
+        ok, f = cap.read()
+        if not ok:
+            raise SystemExit(f"cannot read frame {i * 4} of "
+                             f"{args.video_path}")
+        frames.append(cv2.cvtColor(f, cv2.COLOR_BGR2RGB))
+    cap.release()
+
+    # random init fallback (smoke runs without a checkpoint)
+    from .layout import frame_block_inference_layout, tokens_per_frame
+    from .models.video_gpt import Batch
+    from .data.processor import preprocess_frames
+    px = preprocess_frames(frames, args.max_input_image_size)
+    H, W = px.shape[1:3]
+    f = vae_cfg.downsample_factor
+    hl, wl = H // f, W // f
+    if params is None:
+        n = (hl // model_cfg.patch_size) * (wl // model_cfg.patch_size)
+        lay = frame_block_inference_layout(len(frames), 1, n, use_cfg=True)
+        z = jnp.zeros((2, hl, wl, model_cfg.in_channels), dtype)
+        cl = jnp.zeros((len(frames), hl, wl, model_cfg.in_channels), dtype)
+        params = model.init(jax.random.PRNGKey(0), Batch.from_layout(lay), z,
+                            jnp.zeros((2,), dtype), cl)
+        print("WARNING: no --model_ckpt; using random weights (smoke run)")
+    if vae_params is None:
+        vae_params = vae.init(jax.random.PRNGKey(1),
+                              jnp.zeros((1, H, W, 3), dtype),
+                              jax.random.PRNGKey(2), True)
+        print("WARNING: no --vae_ckpt; using random VAE weights")
+
+    pipe = VideoGPTPipeline(model=model, params=params, vae=vae,
+                            vae_params=vae_params)
+    images = pipe.generate(
+        frames,
+        gen_nums=args.gen_nums,
+        num_inference_steps=args.num_inference_steps,
+        img_guidance_scale=args.img_guidance_scale,
+        max_input_image_size=args.max_input_image_size,
+        max_frame_window=args.max_frame_window,
+        clean_image_noise_level=args.clean_image_noise_level,
+        prediction_type=args.prediction_type,
+        seed=args.seed,
+    )
+    os.makedirs(args.save_dir, exist_ok=True)
+    for i, im in enumerate(images):
+        im.save(os.path.join(args.save_dir, f"0_{i}.png"))
+    print(f"saved {len(images)} frames to {args.save_dir}")
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser("video_gpt_tpu")
+    sub = p.add_subparsers(dest="command", required=True)
+
+    t = sub.add_parser("train", help="pretrain (stage 1-4 curriculum)")
+    t.add_argument("--stage", type=int, default=1, choices=[1, 2, 3, 4])
+    t.add_argument("--video_dir_path", type=str, required=True)
+    t.add_argument("--results_dir", type=str, default="results")
+    t.add_argument("--max_steps", type=int, default=1000)
+    t.add_argument("--frame_num", type=int, default=None)
+    t.add_argument("--batch_size_per_device", type=int, default=1)
+    t.add_argument("--lr", type=float, default=1e-4)
+    t.add_argument("--log_every", type=int, default=100)
+    t.add_argument("--ckpt_every", type=int, default=1000)
+    t.add_argument("--mixed_precision", default="bf16",
+                   choices=["bf16", "no"])
+    t.add_argument("--use_ema", action="store_true")
+    t.add_argument("--input_noise", type=float, default=0.9)
+    t.add_argument("--no_auto_resume", action="store_true")
+    t.add_argument("--model_ckpt", type=str, default=None)
+    t.add_argument("--vae_ckpt", type=str, default=None)
+    t.add_argument("--target_resolution", type=int, nargs=2,
+                   default=[176, 320])
+    t.add_argument("--report_to", default="tensorboard")
+    t.add_argument("--tiny_model", action="store_true",
+                   help="tiny config for smoke tests")
+    t.add_argument("--seed", type=int, default=0)
+    t.set_defaults(func=cmd_train)
+
+    g = sub.add_parser("generate",
+                       help="autoregressive next-clip prediction")
+    g.add_argument("--video_path", type=str, required=True)
+    g.add_argument("--save_dir", type=str, default="result/test/inference")
+    g.add_argument("--model_ckpt", type=str, default=None)
+    g.add_argument("--vae_ckpt", type=str, default=None)
+    g.add_argument("--clean_image_num", type=int, default=1)
+    g.add_argument("--gen_nums", type=int, nargs="+", default=[4, 4])
+    g.add_argument("--num_inference_steps", type=int, default=50)
+    g.add_argument("--img_guidance_scale", type=float, default=1.0)
+    g.add_argument("--max_input_image_size", type=int, default=320)
+    g.add_argument("--max_frame_window", type=int, default=16)
+    g.add_argument("--clean_image_noise_level", type=float, default=0.1)
+    g.add_argument("--prediction_type", default="x1", choices=["x1", "v"])
+    g.add_argument("--dtype", default="bf16", choices=["bf16", "fp32"])
+    g.add_argument("--tiny_model", action="store_true")
+    g.add_argument("--seed", type=int, default=42)
+    g.set_defaults(func=cmd_generate)
+    return p
+
+
+def main():
+    args = build_parser().parse_args()
+    args.func(args)
+
+
+if __name__ == "__main__":
+    main()

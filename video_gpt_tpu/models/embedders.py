@@ -118,6 +118,10 @@ def crop_pos_embed(table: np.ndarray, grid_size: int, h_patches: int,
                    w_patches: int) -> np.ndarray:
     """Center-crop the square table to (h, w) patches and flatten
     (LVM/model.py:268-289)."""
+    if h_patches > grid_size or w_patches > grid_size:
+        raise ValueError(
+            f"frame needs a {h_patches}x{w_patches} patch grid but "
+            f"pos_embed_max_size is {grid_size} (LVM/model.py:275-282)")
     top = (grid_size - h_patches) // 2
     left = (grid_size - w_patches) // 2
     t = table.reshape(grid_size, grid_size, -1)

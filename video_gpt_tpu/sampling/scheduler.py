@@ -63,15 +63,16 @@ def sample(
         sigma = sigmas[i]
         sigma_next = sigmas[i + 1]
         t = jnp.full((z.shape[0],), sigma, z.dtype)
-        pred = denoise_fn(z, t)
+        pred = denoise_fn(z, t).astype(jnp.float32)  # integrate in fp32
+        zf = z.astype(jnp.float32)
         if cfg.prediction_type == "x1":
-            v = (pred - z) / (1.0 - sigma)
+            v = (pred - zf) / (1.0 - sigma)
             if use_cfg:
                 v = cfg_mix(v, cfg_scale)
         else:  # 'v': CFG applied on the raw prediction inside the model in
             # the reference (LVM/model.py:554-562); mirror that here.
             v = cfg_mix(pred, cfg_scale) if use_cfg else pred
-        return z + (sigma_next - sigma) * v, None
+        return (zf + (sigma_next - sigma) * v).astype(z.dtype), None
 
     z, _ = jax.lax.scan(step, z0, jnp.arange(cfg.num_steps))
     return z

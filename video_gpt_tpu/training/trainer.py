@@ -1,0 +1,171 @@
+"""Training loop: dataset -> VAE encode -> flow-matching step -> checkpoints.
+
+Replaces the three reference train drivers (LVM/train/train_x1_stage*.py)
+with one loop parameterised by TrainConfig (the 4-stage curriculum is
+config, not code — see config.stage_config). Differences by design:
+
+- VAE encode + loss + backward + clip + AdamW + EMA run as ONE jitted
+  program per step (the reference interleaves host-side loops,
+  train_x1_stage1:351-408)
+- auto-resume from the latest orbax checkpoint (reference:304-334)
+- tensorboardX metrics + steps/sec, mirroring reference logging (:405-434)
+- determinism is structural: one PRNG key per step; no cross-rank noise
+  broadcasts (LVM/train_helper/loss.py:150-172 become unnecessary)
+"""
+from __future__ import annotations
+
+import json
+import os
+import time
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..config import MeshConfig, ModelConfig, TrainConfig
+from ..layout import tokens_per_frame
+from ..models.vae import AutoencoderKL, VAEConfig
+from ..models.video_gpt import VideoGPT
+from ..data.video import VideoClipDataset
+from ..utils import checkpoint as ckpt
+from .data import TrainBatch, collate
+from .train_state import TrainState, init_train_state, make_train_step
+
+
+class Trainer:
+    def __init__(
+        self,
+        model_cfg: ModelConfig,
+        train_cfg: TrainConfig,
+        video_source: str,
+        vae_cfg: VAEConfig = VAEConfig(),
+        vae_params=None,
+        init_params=None,
+        target_resolution=(176, 320),
+        mesh_cfg: Optional[MeshConfig] = None,
+        seed: int = 0,
+    ):
+        self.model_cfg = model_cfg
+        self.cfg = train_cfg
+        dtype = jnp.bfloat16 if train_cfg.mixed_precision == "bf16" \
+            else jnp.float32
+        if train_cfg.gradient_checkpointing and not model_cfg.remat:
+            model_cfg = ModelConfig(**{**model_cfg.__dict__, "remat": True})
+            self.model_cfg = model_cfg
+        self.model = VideoGPT(model_cfg, dtype=dtype, train_init=True,
+                              input_head=train_cfg.input_output_return)
+        self.vae = AutoencoderKL(vae_cfg, dtype=dtype)
+        self.dataset = VideoClipDataset(
+            video_source,
+            frame_num=train_cfg.frame_num,
+            frame_interval=train_cfg.frame_interval,
+            flexible_interval=train_cfg.flexible_interval,
+            interval_bound=train_cfg.interval_bound,
+            target_resolution=target_resolution,
+            scheme=("frame_block"
+                    if train_cfg.frame_block_scheme == "frame_block"
+                    else "interleaved"),
+            seed=seed,
+        )
+        self.target_resolution = target_resolution
+        self.rng = jax.random.PRNGKey(seed)
+        self._init_params = init_params
+        self._vae_params = vae_params
+        self._jit_step = None
+
+    # ---- setup -------------------------------------------------------------
+
+    def _example_batch(self) -> TrainBatch:
+        sample = self.dataset.sample(0)
+        n_img = tokens_per_frame(*self.target_resolution)
+        return collate([sample] * self.cfg.batch_size_per_device, n_img)
+
+    def _build(self, tb: TrainBatch):
+        h, w = self.target_resolution
+        f = self.vae.cfg.downsample_factor
+        hl, wl = h // f, w // f
+        c = self.model_cfg.in_channels
+        if self._vae_params is None:
+            self._vae_params = self.vae.init(
+                jax.random.PRNGKey(1), jnp.zeros((1, h, w, 3)),
+                jax.random.PRNGKey(2), True)
+        if self._init_params is None:
+            nn_ = int(tb.noisy_sel.shape[0])
+            nc = int(tb.clean_sel.shape[0])
+            z = jnp.zeros((nn_, hl, wl, c))
+            cl = jnp.zeros((nc, hl, wl, c))
+            self._init_params = self.model.init(
+                jax.random.PRNGKey(3), tb.inputs.batch, z,
+                jnp.zeros((nn_,)), cl)
+        state = init_train_state(self.model, self._init_params, self.cfg)
+
+        max_blocks = self.cfg.frame_num
+        inner = make_train_step(self.model, self.cfg, max_blocks)
+        vae = self.vae
+
+        def full_step(state: TrainState, vae_params, rng, tb: TrainBatch):
+            r_enc, r_loss = jax.random.split(rng)
+            latents = vae.apply(vae_params, tb.pixels, r_enc,
+                                method=AutoencoderKL.encode)
+            latents = jax.lax.stop_gradient(latents)
+            inputs = tb.inputs._replace(
+                x1=jnp.take(latents, tb.noisy_sel, axis=0),
+                clean_latents=jnp.take(latents, tb.clean_sel, axis=0))
+            return inner(state, r_loss, inputs)
+
+        self._jit_step = jax.jit(full_step, donate_argnums=(0,))
+        return state
+
+    # ---- loop --------------------------------------------------------------
+
+    def run(self, max_steps: int, log_writer=None) -> TrainState:
+        cfg = self.cfg
+        os.makedirs(cfg.results_dir, exist_ok=True)
+        with open(os.path.join(cfg.results_dir, "train_args.json"), "w") as f:
+            json.dump({"train": cfg.__dict__,
+                       "model": {k: str(v) for k, v in
+                                 self.model_cfg.__dict__.items()}}, f,
+                      indent=2, default=str)
+        ckpt_dir = os.path.join(cfg.results_dir, "checkpoints")
+
+        tb = self._example_batch()
+        state = self._build(tb)
+        start_step = 0
+        if cfg.auto_resume and ckpt.latest_step(ckpt_dir) is not None:
+            state, start_step = ckpt.restore_checkpoint(ckpt_dir, state)
+            print(f"resumed from step {start_step}")
+
+        t0 = time.time()
+        running = []
+        for step_idx in range(start_step, max_steps):
+            samples = [self.dataset.sample(
+                (step_idx * cfg.batch_size_per_device + i) % len(self.dataset))
+                for i in range(cfg.batch_size_per_device)]
+            n_img = tokens_per_frame(*self.target_resolution)
+            tb = collate(samples, n_img)
+            self.rng, r = jax.random.split(self.rng)
+            state, metrics = self._jit_step(state, self._vae_params, r, tb)
+            running.append(float(metrics["loss"]))
+
+            if (step_idx + 1) % cfg.log_every == 0 or step_idx == start_step:
+                dt = time.time() - t0
+                sps = len(running) / max(dt, 1e-9)
+                msg = (f"step {step_idx + 1}: loss={np.mean(running):.4f} "
+                       f"grad_norm={float(metrics['grad_norm']):.3f} "
+                       f"steps/sec={sps:.3f}")
+                print(msg, flush=True)
+                if log_writer is not None:
+                    log_writer.add_scalar("train/loss", np.mean(running),
+                                          step_idx + 1)
+                    log_writer.add_scalar("train/grad_norm",
+                                          float(metrics["grad_norm"]),
+                                          step_idx + 1)
+                    log_writer.add_scalar("train/steps_per_sec", sps,
+                                          step_idx + 1)
+                running, t0 = [], time.time()
+
+            if (step_idx + 1) % cfg.ckpt_every == 0:
+                ckpt.save_checkpoint(ckpt_dir, step_idx + 1, state)
+                print(f"saved checkpoint-{step_idx + 1}", flush=True)
+        return state

