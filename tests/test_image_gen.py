@@ -1,0 +1,99 @@
+"""Single-shot image-generation layout + pipeline (OmniGen ancestor family).
+
+Masks/positions golden-tested against the reference collator's
+process_mllm_input path (LVM/processor.py:841-866 == OmniGen's), then the
+pipeline is smoke-run end-to-end with a stub tokenizer.
+"""
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from video_gpt_tpu.config import ModelConfig
+from video_gpt_tpu.image_gen import (ImageGenPipeline, ImageGenProcessor,
+                                     TextRow, single_shot_layout)
+from video_gpt_tpu.layout import render_dense_mask
+from video_gpt_tpu.models.vae import AutoencoderKL, VAEConfig
+from video_gpt_tpu.models.video_gpt import Batch, VideoGPT
+from video_gpt_tpu.tokens import DEFAULT_TOKEN_IDS as IDS
+
+torch = pytest.importorskip("torch")
+
+
+def test_single_shot_layout_matches_reference(ref):
+    # rows: cond (text + one 4-token image region), neg (text only)
+    n_region, n_out = 4, 16  # 32x32 region, 64x64 output
+    cond_ids = [11, 12, 13] + [0] * n_region + [14, 15]
+    cond_sizes = [[3, 3 + n_region]]
+    neg_ids = [21, 22, 23, 24, 25, 26, 27]
+    inputs = [
+        {"input_ids": cond_ids, "pixel_values": [torch.zeros(1, 3, 32, 32)],
+         "image_sizes": cond_sizes},
+        {"input_ids": neg_ids, "pixel_values": None, "image_sizes": None},
+    ]
+    coll = ref.Collator(pad_token_id=IDS.pad, sequence_parallel_size=1)
+    (pad_ids, pos_ids, mask, _padding, _pv, img_sizes
+     ) = coll.process_mllm_input(inputs, [[64, 64], [64, 64]])
+    mask = coll.adjust_attention_for_input_images(mask, img_sizes)
+
+    rows = [TextRow(cond_ids, [(3, 3 + n_region)]), TextRow(neg_ids, [])]
+    layout = single_shot_layout(rows, n_out=n_out, n_region=n_region)
+
+    # the reference's input_ids stop at the text prefix; TIME+output tokens
+    # are embedding-concatenated in its model (LVM/model.py:360)
+    prefix = layout.length - (n_out + 1)
+    np.testing.assert_array_equal(layout.input_ids[:, :prefix],
+                                  pad_ids.numpy())
+    np.testing.assert_array_equal(layout.pos_ids, pos_ids.numpy())
+    np.testing.assert_array_equal(render_dense_mask(layout),
+                                  mask.numpy().astype(bool))
+    assert layout.noisy_tail_len() == n_out + 1
+
+
+class StubTokenizer:
+    """Deterministic word-hash tokenizer for tests (BOS id 1 included to
+    exercise the strip path)."""
+
+    class _Out:
+        def __init__(self, ids):
+            self.input_ids = ids
+
+    def __call__(self, text):
+        ids = [1] + [100 + (hash(w) % 1000) for w in text.split()]
+        return self._Out(ids)
+
+
+def test_image_gen_pipeline_smoke():
+    from PIL import Image
+    cfg = ModelConfig.tiny(attn_impl="reference", pos_embed_max_size=192)
+    vae_cfg = VAEConfig.tiny()
+    model = VideoGPT(cfg, dtype=jnp.float32)
+    vae = AutoencoderKL(vae_cfg, dtype=jnp.float32)
+    proc = ImageGenProcessor(StubTokenizer(), max_image_size=64)
+
+    # init params on a representative single-shot layout
+    row, _ = proc.row("a cat <img><|image_1|></img>",
+                      [Image.new("RGB", (64, 64))])
+    n = 16
+    layout = single_shot_layout([row, row], n_out=n, n_region=n)
+    z = jnp.zeros((2, 8, 8, 4))
+    cl = jnp.zeros((1, 8, 8, 4))
+    params = model.init(jax.random.PRNGKey(0), Batch.from_layout(layout), z,
+                        jnp.zeros((2,)), cl)
+    vparams = vae.init(jax.random.PRNGKey(1), jnp.zeros((1, 64, 64, 3)),
+                       jax.random.PRNGKey(2), True)
+
+    pipe = ImageGenPipeline(model=model, params=params, vae=vae,
+                            vae_params=vparams, processor=proc)
+    # 3-way CFG (text + image guidance)
+    out = pipe("a cat <img><|image_1|></img>",
+               input_images=[Image.new("RGB", (64, 64), (128, 30, 200))],
+               height=64, width=64, num_inference_steps=3,
+               guidance_scale=2.0, img_guidance_scale=1.5,
+               max_input_image_size=64, seed=0)
+    assert len(out) == 1 and out[0].size == (64, 64)
+    # 2-way CFG (no input image)
+    out2 = pipe("a dog", input_images=None, height=64, width=64,
+                num_inference_steps=2, guidance_scale=2.5, seed=0)
+    assert len(out2) == 1 and out2[0].size == (64, 64)

@@ -1,0 +1,45 @@
+"""Utility subsystems: export/import round-trip, parity probes, timers."""
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from video_gpt_tpu.config import ModelConfig
+from video_gpt_tpu.layout import RowSpec, build_layout
+from video_gpt_tpu.models.video_gpt import Batch, VideoGPT
+from video_gpt_tpu.utils.parity import assert_replicated, max_tree_diff
+from video_gpt_tpu.utils.torch_export import videogpt_params_to_torch
+from video_gpt_tpu.utils.torch_import import videogpt_params_from_torch
+
+CFG = ModelConfig.tiny(attn_impl="reference")
+
+
+def test_export_import_roundtrip():
+    layout = build_layout([RowSpec((1, 1), "training")], 4)
+    model = VideoGPT(CFG, dtype=jnp.float32)
+    x = jnp.zeros((2, 4, 4, 4))
+    params = model.init(jax.random.PRNGKey(0), Batch.from_layout(layout), x,
+                        jnp.zeros((2,)), jnp.zeros((1, 4, 4, 4)))
+    sd = videogpt_params_to_torch(params, CFG)
+    back = {"params": videogpt_params_from_torch(sd, CFG)}
+    assert max_tree_diff(params, back) == 0.0
+    # reference-format names present
+    assert "llm.layers.1.self_attn.qkv_proj.weight" in sd
+    assert sd["x_embedder.proj.weight"].shape == (64, 4, 2, 2)
+
+
+def test_parity_probes():
+    a = {"x": jnp.ones((4, 4)), "y": jnp.zeros((2,))}
+    b = {"x": jnp.ones((4, 4)) * 1.5, "y": jnp.zeros((2,))}
+    assert abs(max_tree_diff(a, b) - 0.5) < 1e-6
+    assert_replicated(a)  # single-shard arrays trivially replicated
+
+
+def test_phase_timer():
+    from video_gpt_tpu.utils.logging import PhaseTimer
+    t = PhaseTimer()
+    with t.phase("a"):
+        pass
+    with t.phase("a"):
+        pass
+    assert t.counts["a"] == 2 and "a:" in t.summary()

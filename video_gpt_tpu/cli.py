@@ -154,6 +154,88 @@ def cmd_generate(args):
     print(f"saved {len(images)} frames to {args.save_dir}")
 
 
+def cmd_generate_image(args):
+    """Single-shot text(+image) -> image (the OmniGen-ancestor family)."""
+    import jax
+    import jax.numpy as jnp
+
+    from .image_gen import ImageGenPipeline, ImageGenProcessor
+    from .models.vae import AutoencoderKL, VAEConfig
+    from .models.video_gpt import VideoGPT
+    from .utils.cache import enable_compilation_cache
+
+    enable_compilation_cache()
+    model_cfg = _model_cfg(args)
+    vae_cfg = VAEConfig.tiny() if args.tiny_model else VAEConfig()
+    dtype = jnp.bfloat16 if args.dtype == "bf16" else jnp.float32
+    model = VideoGPT(model_cfg, dtype=dtype)
+    vae = AutoencoderKL(vae_cfg, dtype=dtype)
+
+    if args.tokenizer:
+        from transformers import AutoTokenizer
+        tokenizer = AutoTokenizer.from_pretrained(args.tokenizer)
+    else:
+        class _Stub:
+            class _Out:
+                def __init__(self, ids):
+                    self.input_ids = ids
+
+            def __call__(self, text):
+                return self._Out([100 + (hash(w) % 1000)
+                                  for w in text.split()])
+
+        tokenizer = _Stub()
+        print("WARNING: no --tokenizer; hashing words (smoke run only)")
+    proc = ImageGenProcessor(tokenizer, args.max_input_image_size)
+
+    if args.model_ckpt:
+        from .utils.torch_import import (load_reference_checkpoint,
+                                         videogpt_params_from_torch)
+        params = {"params": videogpt_params_from_torch(
+            load_reference_checkpoint(args.model_ckpt), model_cfg)}
+    else:
+        from .image_gen import TextRow, single_shot_layout
+        from .models.video_gpt import Batch
+        from .tokens import DEFAULT_TOKEN_IDS
+        f = vae_cfg.downsample_factor
+        hl, wl = args.height // f, args.width // f
+        n = (hl // model_cfg.patch_size) * (wl // model_cfg.patch_size)
+        # init with one input-image region so every submodule gets params
+        row = TextRow([DEFAULT_TOKEN_IDS.slot] * n, [(0, n)])
+        lay = single_shot_layout([row], n_out=n, n_region=n)
+        params = model.init(
+            jax.random.PRNGKey(0), Batch.from_layout(lay),
+            jnp.zeros((1, hl, wl, model_cfg.in_channels), dtype),
+            jnp.zeros((1,), dtype),
+            jnp.zeros((1, hl, wl, model_cfg.in_channels), dtype))
+        print("WARNING: no --model_ckpt; using random weights (smoke run)")
+    if args.vae_ckpt:
+        from .models.vae import vae_params_from_diffusers
+        from .utils.torch_import import load_reference_checkpoint
+        vae_params = {"params": vae_params_from_diffusers(
+            load_reference_checkpoint(args.vae_ckpt), vae_cfg)}
+    else:
+        vae_params = vae.init(jax.random.PRNGKey(1),
+                              jnp.zeros((1, args.height, args.width, 3),
+                                        dtype),
+                              jax.random.PRNGKey(2), True)
+        print("WARNING: no --vae_ckpt; using random VAE weights")
+
+    pipe = ImageGenPipeline(model=model, params=params, vae=vae,
+                            vae_params=vae_params, processor=proc)
+    images = pipe(args.prompt, input_images=args.input_images or None,
+                  height=args.height, width=args.width,
+                  num_inference_steps=args.num_inference_steps,
+                  guidance_scale=args.guidance_scale,
+                  img_guidance_scale=args.img_guidance_scale,
+                  max_input_image_size=args.max_input_image_size,
+                  seed=args.seed)
+    os.makedirs(os.path.dirname(os.path.abspath(args.output)) or ".",
+                exist_ok=True)
+    images[0].save(args.output)
+    print(f"saved {args.output}")
+
+
 def build_parser() -> argparse.ArgumentParser:
     p = argparse.ArgumentParser("video_gpt_tpu")
     sub = p.add_subparsers(dest="command", required=True)
@@ -201,6 +283,26 @@ def build_parser() -> argparse.ArgumentParser:
     g.add_argument("--tiny_model", action="store_true")
     g.add_argument("--seed", type=int, default=42)
     g.set_defaults(func=cmd_generate)
+
+    gi = sub.add_parser("generate-image",
+                        help="single-shot text(+image)->image generation")
+    gi.add_argument("--prompt", type=str, required=True)
+    gi.add_argument("--input_images", type=str, nargs="*", default=None)
+    gi.add_argument("--output", type=str, default="result/image.png")
+    gi.add_argument("--height", type=int, default=1024)
+    gi.add_argument("--width", type=int, default=1024)
+    gi.add_argument("--num_inference_steps", type=int, default=50)
+    gi.add_argument("--guidance_scale", type=float, default=3.0)
+    gi.add_argument("--img_guidance_scale", type=float, default=1.6)
+    gi.add_argument("--max_input_image_size", type=int, default=1024)
+    gi.add_argument("--model_ckpt", type=str, default=None)
+    gi.add_argument("--vae_ckpt", type=str, default=None)
+    gi.add_argument("--tokenizer", type=str, default=None,
+                    help="HF tokenizer path for text prompts")
+    gi.add_argument("--dtype", default="bf16", choices=["bf16", "fp32"])
+    gi.add_argument("--tiny_model", action="store_true")
+    gi.add_argument("--seed", type=int, default=None)
+    gi.set_defaults(func=cmd_generate_image)
     return p
 
 

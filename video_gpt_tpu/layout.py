@@ -116,17 +116,22 @@ class SequenceLayout:
         return self.clean_gather.shape[0]
 
     def noisy_tail_len(self) -> int:
-        """Length of the contiguous noisy tail, when every row ends with its
-        noisy block at the sequence end (inference layouts). Enables the
-        prefill/denoise-step split for the KV-cache fast path."""
-        n_gen = {s.frame_blocks[-1] for s in self.specs}
-        assert len(n_gen) == 1, "rows must share the generated-block size"
-        tail = n_gen.pop() * self.seg_len
-        # noisy tokens must all live in [L-tail, L)
-        noisy_cols = np.isin(self.kind, (Kind.DIFF, Kind.TIME, Kind.NOISY_IMG))
-        assert noisy_cols[:, : self.length - tail].sum() == 0
-        assert noisy_cols[:, self.length - tail:].all()
-        return tail
+        """Length of the contiguous step-dependent tail (noisy tokens + their
+        TIME/DIFF markers) shared by every row — i.e. the tokens that must be
+        recomputed each denoise step. Enables the prefill/decode split for the
+        KV-cache fast path (the OmniGen pattern, OmniGen/scheduler.py:155-176).
+        """
+        noisy_cols = np.isin(self.kind,
+                             (Kind.DIFF, Kind.TIME, Kind.NOISY_IMG))
+        # every row: one contiguous run ending at the sequence end
+        tails = set()
+        for b in range(self.batch):
+            idx = np.nonzero(noisy_cols[b])[0]
+            assert idx.size > 0 and idx[-1] == self.length - 1
+            assert (np.diff(idx) == 1).all(), "noisy tail not contiguous"
+            tails.add(int(idx.size))
+        assert len(tails) == 1, f"rows disagree on tail length: {tails}"
+        return tails.pop()
 
 
 def tokens_per_frame(height: int, width: int) -> int:

@@ -49,6 +49,7 @@ def sample(
     cfg: SchedulerConfig,
     use_cfg: bool = False,
     cfg_scale: float = 1.0,
+    guidance_fn: Optional[Callable[[jax.Array], jax.Array]] = None,
 ) -> jax.Array:
     """Run the Euler ODE from noise to clip latents.
 
@@ -58,6 +59,8 @@ def sample(
     """
     sigmas = jnp.asarray(sigma_schedule(cfg.num_steps,
                                         cfg.time_shifting_factor))
+    guide = guidance_fn if guidance_fn is not None else (
+        lambda v: cfg_mix(v, cfg_scale))
 
     def step(z, i):
         sigma = sigmas[i]
@@ -68,10 +71,10 @@ def sample(
         if cfg.prediction_type == "x1":
             v = (pred - zf) / (1.0 - sigma)
             if use_cfg:
-                v = cfg_mix(v, cfg_scale)
-        else:  # 'v': CFG applied on the raw prediction inside the model in
-            # the reference (LVM/model.py:554-562); mirror that here.
-            v = cfg_mix(pred, cfg_scale) if use_cfg else pred
+                v = guide(v)
+        else:  # 'v': CFG applied on the raw velocity prediction
+            # (LVM/model.py:554-562, OmniGen/model.py:359-372)
+            v = guide(pred) if use_cfg else pred
         return (zf + (sigma_next - sigma) * v).astype(z.dtype), None
 
     z, _ = jax.lax.scan(step, z0, jnp.arange(cfg.num_steps))

@@ -1,0 +1,73 @@
+"""LoRA fine-tuning as parameter trees.
+
+Replaces the reference's peft wrapper (train_x1_stage1:204-223: rank-8
+adapters on ``qkv_proj``/``o_proj``) with plain pytrees: adapters live in
+their own tree, the merged kernel ``W + (alpha/r)·A@B`` is formed inside the
+jitted step, and only the adapter leaves receive gradients/optimizer state.
+Works on the stacked [num_layers, in, out] kernels of the scanned decoder.
+"""
+from __future__ import annotations
+
+from typing import Dict, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+
+DEFAULT_TARGETS = ("qkv_proj", "o_proj")
+
+
+def _walk(tree, path=()):
+    if isinstance(tree, dict):
+        for k, v in tree.items():
+            yield from _walk(v, path + (k,))
+    else:
+        yield path, tree
+
+
+def init_lora(params: Dict, rank: int, rng: jax.Array,
+              targets: Sequence[str] = DEFAULT_TARGETS) -> Dict:
+    """Adapter tree mirroring the structure of targeted kernels.
+
+    A ~ N(0, 1/r) (peft kaiming-ish), B = 0 so the merged model starts
+    exactly at the base weights."""
+    lora = {}
+    for path, leaf in _walk(params):
+        if len(path) >= 2 and path[-1] == "kernel" and path[-2] in targets:
+            rng, r = jax.random.split(rng)
+            *lead, fan_in, fan_out = leaf.shape
+            a = jax.random.normal(r, (*lead, fan_in, rank),
+                                  jnp.float32) / rank
+            b = jnp.zeros((*lead, rank, fan_out), jnp.float32)
+            node = lora
+            for k in path[:-1]:
+                node = node.setdefault(k, {})
+            node["lora_a"] = a
+            node["lora_b"] = b
+    return lora
+
+
+def apply_lora(params: Dict, lora: Dict, alpha: float = 1.0) -> Dict:
+    """Merged params: kernel + alpha * A@B where an adapter exists."""
+
+    def merge(p_node, l_node):
+        if not isinstance(p_node, dict):
+            return p_node
+        out = {}
+        for k, v in p_node.items():
+            child_l = l_node.get(k, {}) if isinstance(l_node, dict) else {}
+            if k == "kernel" and isinstance(l_node, dict) \
+                    and "lora_a" in l_node:
+                a, b = l_node["lora_a"], l_node["lora_b"]
+                delta = jnp.einsum("...ir,...ro->...io", a, b) * alpha
+                out[k] = (v + delta.astype(v.dtype))
+            else:
+                out[k] = merge(v, child_l)
+        return out
+
+    return merge(params, lora)
+
+
+def merge_lora(params: Dict, lora: Dict, alpha: float = 1.0) -> Dict:
+    """Materialise merged weights (LVMPipeline.merge_lora,
+    LVM/pipeline.py:97-101)."""
+    return jax.tree.map(jnp.asarray, apply_lora(params, lora, alpha))

@@ -71,6 +71,35 @@ def ema_update(ema, params, decay: float):
                         * (1.0 - decay), ema, params)
 
 
+def make_lora_train_step(model: VideoGPT, base_params, cfg: TrainConfig,
+                         max_blocks: int) -> Callable:
+    """Train step where ``state.params`` is a LoRA adapter tree and the base
+    weights stay frozen (reference peft path, train_x1_stage1:204-223)."""
+    from .lora import apply_lora
+
+    tx = make_optimizer(cfg)
+    inner = base_params["params"] if "params" in base_params else base_params
+
+    def step(state: TrainState, rng: jax.Array, inputs: LossInputs):
+        def loss_fn(lora):
+            merged = {"params": apply_lora(inner, lora)}
+            return training_loss(
+                model, merged, rng, inputs, max_blocks=max_blocks,
+                input_noise=cfg.input_noise,
+                input_output_return=cfg.input_output_return)
+
+        (loss, aux), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+            state.params)
+        updates, opt_state = tx.update(grads, state.opt_state, state.params)
+        new_lora = optax.apply_updates(state.params, updates)
+        metrics = {"loss": loss, "grad_norm": optax.global_norm(grads),
+                   "per_frame_loss": aux["per_frame_loss"]}
+        return TrainState(state.step + 1, new_lora, opt_state,
+                          state.ema_params), metrics
+
+    return step
+
+
 def make_train_step(model: VideoGPT, cfg: TrainConfig, max_blocks: int
                     ) -> Callable:
     """Jittable (state, rng, inputs) -> (state, metrics)."""
