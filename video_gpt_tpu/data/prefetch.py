@@ -1,0 +1,57 @@
+"""Background batch prefetcher.
+
+Replaces torch DataLoader worker processes (train drivers: num_workers=4,
+timeout knobs, train_x1_stage1:244-272): worker threads decode/collate the
+next batches while the device executes the current step; cv2 decode releases
+the GIL so threads overlap with host dispatch.
+"""
+from __future__ import annotations
+
+import queue
+import threading
+from typing import Callable, Iterator, Optional
+
+
+class Prefetcher:
+    def __init__(self, make_batch: Callable[[int], object], depth: int = 2,
+                 workers: int = 1):
+        """``make_batch(step_index)`` must be thread-safe."""
+        self._make = make_batch
+        self._q: "queue.Queue" = queue.Queue(maxsize=depth)
+        self._stop = threading.Event()
+        self._next = 0
+        self._lock = threading.Lock()
+        self._threads = [threading.Thread(target=self._run, daemon=True)
+                         for _ in range(workers)]
+        for t in self._threads:
+            t.start()
+
+    def _run(self):
+        while not self._stop.is_set():
+            with self._lock:
+                idx = self._next
+                self._next += 1
+            try:
+                batch = self._make(idx)
+            except Exception as e:  # surface on the consumer side
+                batch = e
+            while not self._stop.is_set():
+                try:
+                    self._q.put((idx, batch), timeout=0.2)
+                    break
+                except queue.Full:
+                    continue
+
+    def get(self):
+        idx, batch = self._q.get()
+        if isinstance(batch, Exception):
+            raise batch
+        return batch
+
+    def close(self):
+        self._stop.set()
+        while not self._q.empty():
+            try:
+                self._q.get_nowait()
+            except queue.Empty:
+                break

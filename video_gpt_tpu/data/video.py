@@ -72,6 +72,20 @@ def fit_to_resolution(frame: np.ndarray, height: int, width: int
     return img[y0: y0 + height, x0: x0 + width]
 
 
+def preprocess_to_resolution(frames: Sequence[np.ndarray], th: int, tw: int
+                             ) -> np.ndarray:
+    """Cover-resize + center-crop + normalise to [-1, 1]; native C++ fast
+    path (native/frame_ops.cpp) with a numpy/cv2 fallback."""
+    try:
+        from . import native
+        if native.available():
+            return native.preprocess_batch(frames, th, tw)
+    except Exception:
+        pass
+    pixels = np.stack([fit_to_resolution(f, th, tw) for f in frames])
+    return (pixels.astype(np.float32) / 255.0 - 0.5) / 0.5
+
+
 @dataclasses.dataclass
 class ClipSample:
     pixels: np.ndarray            # [F, H, W, 3] float32 in [-1, 1]
@@ -172,8 +186,7 @@ class VideoClipDataset:
         else:
             raise RuntimeError("too many unreadable videos")
         th, tw = self.target_resolution
-        pixels = np.stack([fit_to_resolution(f, th, tw) for f in frames])
-        pixels = (pixels.astype(np.float32) / 255.0 - 0.5) / 0.5
+        pixels = preprocess_to_resolution(frames, th, tw)
         if self.scheme == "frame_block":
             blocks = random_block_partition(self.frame_num, self._rng)
         else:

@@ -136,14 +136,21 @@ class Trainer:
             state, start_step = ckpt.restore_checkpoint(ckpt_dir, state)
             print(f"resumed from step {start_step}")
 
+        n_img = tokens_per_frame(*self.target_resolution)
+
+        def make_batch(idx: int):
+            samples = [self.dataset.sample(
+                (idx * cfg.batch_size_per_device + i) % len(self.dataset))
+                for i in range(cfg.batch_size_per_device)]
+            return collate(samples, n_img)
+
+        from ..data.prefetch import Prefetcher
+        prefetcher = Prefetcher(make_batch, depth=2, workers=1)
+
         t0 = time.time()
         running = []
         for step_idx in range(start_step, max_steps):
-            samples = [self.dataset.sample(
-                (step_idx * cfg.batch_size_per_device + i) % len(self.dataset))
-                for i in range(cfg.batch_size_per_device)]
-            n_img = tokens_per_frame(*self.target_resolution)
-            tb = collate(samples, n_img)
+            tb = prefetcher.get()
             self.rng, r = jax.random.split(self.rng)
             state, metrics = self._jit_step(state, self._vae_params, r, tb)
             running.append(float(metrics["loss"]))
@@ -168,4 +175,5 @@ class Trainer:
             if (step_idx + 1) % cfg.ckpt_every == 0:
                 ckpt.save_checkpoint(ckpt_dir, step_idx + 1, state)
                 print(f"saved checkpoint-{step_idx + 1}", flush=True)
+        prefetcher.close()
         return state
