@@ -19,6 +19,23 @@ def _rand_qkv(rng, b, lq, lk, h, hkv, d):
     return q, k, v
 
 
+def test_bias_mode_matches_reference():
+    """Precomputed-bias fast path == dense reference (incl. auto block_q)."""
+    from video_gpt_tpu.ops.flash_attention import precompute_bias
+    n = tokens_per_frame(32, 48)
+    layout = frame_block_inference_layout(3, 2, n, use_cfg=True)
+    meta = AttnMeta.from_layout(layout)
+    tail = layout.noisy_tail_len()
+    q_meta = meta.tail(tail)
+    b, l = layout.batch, layout.length
+    q, k, v = _rand_qkv(jax.random.PRNGKey(2), b, tail, l, 4, 4, 96)
+    ref = mha_reference(q, k, v, attention_bias(q_meta, meta))
+    bias = precompute_bias(q_meta, meta)
+    out = flash_mha(q, k, v, q_meta, meta, bias=bias, interpret=True)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               atol=2e-5, rtol=2e-5)
+
+
 @pytest.mark.parametrize("scheme", ["inference", "training"])
 def test_flash_matches_reference_full(scheme):
     n = tokens_per_frame(32, 48)

@@ -89,3 +89,33 @@ def test_multidevice_train_step():
         pytest.skip("needs 8 fake devices")
     import __graft_entry__
     __graft_entry__.dryrun_multichip(8)
+
+
+def test_velocity_target_loss():
+    """OmniGen-family velocity objective: with a zero-output model the loss
+    is mean((x1-x0)^2) for the drawn noise."""
+    layout, inputs = _inputs()
+    model = VideoGPT(CFG, dtype=jnp.float32, train_init=True)
+    params = model.init(jax.random.PRNGKey(0), inputs.batch, inputs.x1,
+                        jnp.zeros((layout.num_noisy_frames,)),
+                        inputs.clean_latents)
+    loss_x1, _ = training_loss(model, params, jax.random.PRNGKey(1), inputs,
+                               max_blocks=3, prediction_target="x1")
+    loss_v, _ = training_loss(model, params, jax.random.PRNGKey(1), inputs,
+                              max_blocks=3, prediction_target="velocity")
+    # targets differ => losses differ; both finite
+    assert np.isfinite(float(loss_x1)) and np.isfinite(float(loss_v))
+    assert abs(float(loss_x1) - float(loss_v)) > 1e-4
+
+
+def test_graceful_shutdown_event():
+    import os
+    import signal
+    from video_gpt_tpu.parallel.distributed import GracefulShutdown
+    gs = GracefulShutdown(signals=(signal.SIGUSR1,))
+    assert not gs.requested.is_set()
+    os.kill(os.getpid(), signal.SIGUSR1)
+    import time
+    time.sleep(0.1)
+    assert gs.requested.is_set()
+    gs.restore()

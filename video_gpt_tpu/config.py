@@ -39,6 +39,12 @@ class ModelConfig:
     remat: bool = False      # jax.checkpoint each decoder layer
     seq_shard: bool = False  # constrain activations to P(data, seq, None)
                              # under a mesh (sequence parallelism)
+    scan_unroll: int = 1     # unroll factor for the layer scan (compile time
+                             # vs scheduling freedom)
+    # precompute the attention bias once per clip (shared by all layers and
+    # denoise steps) when B*Lq*Lk is at most this many elements (~512 MB
+    # bf16); larger sequences use the O(L) in-kernel mask path
+    precompute_bias_limit: int = 256_000_000
     token_ids: TokenIds = DEFAULT_TOKEN_IDS
 
     @property

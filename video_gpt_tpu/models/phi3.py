@@ -73,7 +73,8 @@ class Phi3Attention(nn.Module):
 
     @nn.compact
     def __call__(self, x, cos, sin, q_meta, k_meta,
-                 cache: Optional[Tuple[jax.Array, jax.Array]] = None):
+                 cache: Optional[Tuple[jax.Array, jax.Array]] = None,
+                 bias: Optional[jax.Array] = None):
         cfg = self.cfg
         h, hkv, d = cfg.num_heads, cfg.num_kv_heads, cfg.head_dim
         b, l, _ = x.shape
@@ -91,7 +92,7 @@ class Phi3Attention(nn.Module):
             # denoise steps within a block)
             k = jnp.concatenate([cache[0].astype(k.dtype), k], axis=1)
             v = jnp.concatenate([cache[1].astype(v.dtype), v], axis=1)
-        out = attend(q, k, v, q_meta, k_meta, impl=cfg.attn_impl)
+        out = attend(q, k, v, q_meta, k_meta, impl=cfg.attn_impl, bias=bias)
         out = out.reshape(b, l, h * d)
         out = nn.Dense(cfg.hidden_size, use_bias=False, dtype=self.dtype,
                        name="o_proj")(out)
@@ -118,13 +119,13 @@ class Phi3Layer(nn.Module):
 
     @nn.compact
     def __call__(self, carry, scanned):
-        x, cos, sin, q_meta, k_meta = carry
+        x, cos, sin, q_meta, k_meta, bias = carry
         cache = scanned
         attn_in = RMSNorm(self.cfg.rms_norm_eps, self.dtype,
                           name="input_layernorm")(x)
         attn_out, new_kv = Phi3Attention(self.cfg, self.dtype,
                                          name="self_attn")(
-            attn_in, cos, sin, q_meta, k_meta, cache)
+            attn_in, cos, sin, q_meta, k_meta, cache, bias)
         x = x + attn_out
         mlp_in = RMSNorm(self.cfg.rms_norm_eps, self.dtype,
                          name="post_attention_layernorm")(x)
@@ -132,7 +133,7 @@ class Phi3Layer(nn.Module):
         if self.cfg.seq_shard:
             from ..parallel.mesh import constrain_activations
             x = constrain_activations(x)
-        return (x, cos, sin, q_meta, k_meta), new_kv
+        return (x, cos, sin, q_meta, k_meta, bias), new_kv
 
 
 class Phi3Decoder(nn.Module):
@@ -144,7 +145,8 @@ class Phi3Decoder(nn.Module):
     @nn.compact
     def __call__(self, inputs_embeds: jax.Array, pos_ids: jax.Array,
                  q_meta: AttnMeta, k_meta: AttnMeta,
-                 cache: Optional[KVCache] = None
+                 cache: Optional[KVCache] = None,
+                 bias: Optional[jax.Array] = None
                  ) -> Tuple[jax.Array, KVCache]:
         cfg = self.cfg
         cos, sin = rope_tables(pos_ids, cfg.head_dim, cfg.rope_theta,
@@ -161,6 +163,7 @@ class Phi3Decoder(nn.Module):
             in_axes=0,
             out_axes=0,
             length=cfg.num_layers,
+            unroll=cfg.scan_unroll,
         )(cfg, self.dtype, name="layers")
         if cache is None:
             # zero-length context: unifies the cached/uncached code paths
@@ -168,7 +171,7 @@ class Phi3Decoder(nn.Module):
             empty = jnp.zeros((cfg.num_layers, b, 0, cfg.num_kv_heads,
                                cfg.head_dim), self.dtype)
             cache = KVCache(empty, empty)
-        carry = (inputs_embeds, cos, sin, q_meta, k_meta)
+        carry = (inputs_embeds, cos, sin, q_meta, k_meta, bias)
         (x, *_), kv = stack(carry, (cache.k, cache.v))
         x = RMSNorm(cfg.rms_norm_eps, self.dtype, name="norm")(x)
         return x, KVCache(*kv)

@@ -138,6 +138,21 @@ class VideoGPT(nn.Module):
         return unpatchify(out, hl, wl, self.cfg.patch_size,
                           self.cfg.in_channels)
 
+    def _maybe_bias(self, q_meta: AttnMeta, k_meta: AttnMeta):
+        """Precompute the (layer- and step-invariant) attention bias when the
+        flash fast path will consume it and it fits the size budget."""
+        import jax as _jax
+        if self.cfg.attn_impl not in ("auto", "pallas"):
+            return None
+        if _jax.default_backend() != "tpu":
+            return None
+        b, lq = q_meta.index.shape
+        lk = k_meta.vis_start.shape[1]
+        if b * lq * lk > self.cfg.precompute_bias_limit:
+            return None
+        from ..ops.flash_attention import precompute_bias
+        return precompute_bias(q_meta, k_meta)
+
     # ---- forward variants --------------------------------------------------
 
     def __call__(self, batch: Batch, noisy_latents: jax.Array, t: jax.Array,
@@ -148,7 +163,8 @@ class VideoGPT(nn.Module):
         emb = self._assemble(batch.input_ids, batch.noisy_src,
                              batch.clean_src, batch.time_src,
                              noisy_latents, t, clean_latents)
-        hidden, _ = self.llm(emb, batch.pos_ids, batch.meta, batch.meta)
+        hidden, _ = self.llm(emb, batch.pos_ids, batch.meta, batch.meta,
+                             bias=self._maybe_bias(batch.meta, batch.meta))
         nn_, hl, wl, _ = noisy_latents.shape
         pred = self._heads(hidden, batch.noisy_gather, t, (nn_, hl, wl))
         if input_output_return:
@@ -169,7 +185,8 @@ class VideoGPT(nn.Module):
             c = self._embed_frames(clean_latents, is_input=True)
             emb = _scatter(emb, batch.clean_src[:, :lp], c)
         meta_p = AttnMeta(*(x[:, :lp] for x in batch.meta))
-        _, cache = self.llm(emb, batch.pos_ids[:, :lp], meta_p, meta_p)
+        _, cache = self.llm(emb, batch.pos_ids[:, :lp], meta_p, meta_p,
+                            bias=self._maybe_bias(meta_p, meta_p))
         return cache
 
     def decode(self, batch: Batch, noisy_latents: jax.Array, t: jax.Array,
@@ -187,7 +204,8 @@ class VideoGPT(nn.Module):
         emb = _scatter(emb, time_src, self.time_token(t))
         q_meta = batch.meta.tail(lt)
         hidden, _ = self.llm(emb, batch.pos_ids[:, -lt:], q_meta, batch.meta,
-                             cache=cache)
+                             cache=cache,
+                             bias=self._maybe_bias(q_meta, batch.meta))
         # remap full-sequence gather indices onto the tail
         g = batch.noisy_gather
         b_idx, pos = g // full_l, g % full_l

@@ -96,18 +96,20 @@ def mha_reference(q: jax.Array, k: jax.Array, v: jax.Array,
 
 
 def attend(q: jax.Array, k: jax.Array, v: jax.Array,
-           q_meta: AttnMeta, k_meta: AttnMeta, impl: str = "auto"
-           ) -> jax.Array:
-    """Metadata-masked attention dispatch."""
+           q_meta: AttnMeta, k_meta: AttnMeta, impl: str = "auto",
+           bias: Optional[jax.Array] = None) -> jax.Array:
+    """Metadata-masked attention dispatch. ``bias`` is an optional
+    precomputed bf16 bias (ops.flash_attention.precompute_bias) shared
+    across layers/steps; the dense fallback derives its own."""
     if impl in ("auto", "pallas"):
         try:
             from .flash_attention import flash_attention_supported, flash_mha
             if flash_attention_supported(q, k, v):
-                return flash_mha(q, k, v, q_meta, k_meta)
+                return flash_mha(q, k, v, q_meta, k_meta, bias=bias)
         except ImportError:
             pass
         if impl == "pallas":
             raise RuntimeError("pallas flash attention unavailable for these "
                                f"shapes: q={q.shape} k={k.shape}")
-    bias = attention_bias(q_meta, k_meta, jnp.float32)
-    return mha_reference(q, k, v, bias)
+    dense_bias = attention_bias(q_meta, k_meta, jnp.float32)
+    return mha_reference(q, k, v, dense_bias)

@@ -66,6 +66,9 @@ def training_loss(
     exp_time: bool = False,
     input_output_return: bool = False,
     order: int = 2,
+    prediction_target: str = "x1",  # 'x1' (video path) | 'velocity'
+                                    # (OmniGen family: ut = x1 - x0,
+                                    # OmniGen/train_helper/loss.py:40-45)
 ):
     """Returns (scalar loss, aux dict with per-frame losses). ``max_blocks``
     is static (from the layout) — the timestep table is [rows, max_blocks]."""
@@ -93,7 +96,8 @@ def training_loss(
     else:
         pred = model.apply(params, inputs.batch, xt, t, clean_in)
 
-    err = (x1.astype(jnp.float32) - pred.astype(jnp.float32)) ** order
+    target = x1 if prediction_target == "x1" else (x1 - x0)
+    err = (target.astype(jnp.float32) - pred.astype(jnp.float32)) ** order
     per_frame = jnp.mean(err.reshape(err.shape[0], -1), axis=-1)  # [Nn]
     if inputs.frame_weights is not None:
         per_frame = per_frame * inputs.frame_weights

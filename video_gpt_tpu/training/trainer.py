@@ -145,11 +145,18 @@ class Trainer:
             return collate(samples, n_img)
 
         from ..data.prefetch import Prefetcher
+        from ..parallel.distributed import GracefulShutdown
         prefetcher = Prefetcher(make_batch, depth=2, workers=1)
+        shutdown = GracefulShutdown()
 
         t0 = time.time()
         running = []
         for step_idx in range(start_step, max_steps):
+            if shutdown.requested.is_set():
+                ckpt.save_checkpoint(ckpt_dir, step_idx, state)
+                print(f"shutdown requested: saved checkpoint-{step_idx}",
+                      flush=True)
+                break
             tb = prefetcher.get()
             self.rng, r = jax.random.split(self.rng)
             state, metrics = self._jit_step(state, self._vae_params, r, tb)
