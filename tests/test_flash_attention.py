@@ -66,3 +66,65 @@ def test_flash_decode_tail_and_gqa():
     out = flash_mha(q, k, v, q_meta, meta, block_q=128, interpret=True)
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
                                atol=2e-5, rtol=2e-5)
+
+
+def test_chunked_matches_reference_and_grads():
+    """Training path: head-chunked attention == dense, with working grads."""
+    from video_gpt_tpu.ops.attention import mha_chunked
+    n = tokens_per_frame(32, 32)
+    layout = build_layout([RowSpec((1, 2, 1), "training")], n)
+    meta = AttnMeta.from_layout(layout)
+    b, l = layout.batch, layout.length
+    q, k, v = _rand_qkv(jax.random.PRNGKey(3), b, l, l, 8, 2, 32)
+    bias = attention_bias(meta, meta)
+    ref = mha_reference(q, k, v, bias)
+    out = mha_chunked(q, k, v, bias, head_chunk=4)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               atol=2e-5, rtol=2e-5)
+
+    def loss_ref(q):
+        return (mha_reference(q, k, v, bias) ** 2).sum()
+
+    def loss_chk(q):
+        return (mha_chunked(q, k, v, bias, head_chunk=4) ** 2).sum()
+
+    g_ref = jax.grad(loss_ref)(q)
+    g_chk = jax.grad(loss_chk)(q)
+    np.testing.assert_allclose(np.asarray(g_chk), np.asarray(g_ref),
+                               atol=2e-4, rtol=2e-4)
+
+
+def test_flash_vjp_matches_dense_grads():
+    """custom-VJP flash backward == dense-path grads (interpret mode)."""
+    from video_gpt_tpu.ops import flash_attention as fa
+    fa.INTERPRET = True
+    try:
+        n = tokens_per_frame(32, 32)
+        layout = build_layout([RowSpec((1, 2, 1), "training")], n)
+        meta = AttnMeta.from_layout(layout)
+        b, l = layout.batch, layout.length
+        q, k, v = _rand_qkv(jax.random.PRNGKey(4), b, l, l, 4, 2, 96)
+        bias = fa.precompute_bias(meta, meta)
+        dense_bias = attention_bias(meta, meta)
+
+        out = fa.flash_mha_biased(q, k, v, bias)
+        ref = mha_reference(q, k, v, dense_bias)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                                   atol=2e-5, rtol=2e-5)
+
+        w = jax.random.normal(jax.random.PRNGKey(5), out.shape)
+
+        def loss_flash(q, k, v):
+            return (fa.flash_mha_biased(q, k, v, bias) * w).sum()
+
+        def loss_dense(q, k, v):
+            return (mha_reference(q, k, v, dense_bias) * w).sum()
+
+        g_fl = jax.grad(loss_flash, argnums=(0, 1, 2))(q, k, v)
+        g_dn = jax.grad(loss_dense, argnums=(0, 1, 2))(q, k, v)
+        for a, bb, name in zip(g_fl, g_dn, "qkv"):
+            np.testing.assert_allclose(
+                np.asarray(a), np.asarray(bb), atol=5e-5, rtol=5e-5,
+                err_msg=f"d{name} mismatch")
+    finally:
+        fa.INTERPRET = False

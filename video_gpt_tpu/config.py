@@ -68,6 +68,8 @@ class SchedulerConfig:
     num_steps: int = 50
     time_shifting_factor: float = 1.0
     prediction_type: str = "x1"  # 'x1' | 'v'
+    begin_time: Optional[float] = None  # start the sigma grid late
+                                        # (LVM/scheduler.py:124-127)
 
 
 @dataclasses.dataclass(frozen=True)

@@ -55,3 +55,7 @@ class Prefetcher:
                 self._q.get_nowait()
             except queue.Empty:
                 break
+        # join workers: a daemon thread still inside native code (cv2) when
+        # the interpreter finalises aborts the process
+        for t in self._threads:
+            t.join(timeout=10.0)

@@ -8,6 +8,7 @@ inside the kernel (Pallas path) or as a fused jnp expression (reference path).
 """
 from __future__ import annotations
 
+import math
 from typing import NamedTuple, Optional
 
 import jax
@@ -95,6 +96,38 @@ def mha_reference(q: jax.Array, k: jax.Array, v: jax.Array,
     return out
 
 
+def mha_chunked(q: jax.Array, k: jax.Array, v: jax.Array,
+                bias: Optional[jax.Array], head_chunk: int = 4) -> jax.Array:
+    """Differentiable memory-bounded attention for TRAINING.
+
+    Serialises over head chunks with rematerialisation: peak logits memory is
+    [B, head_chunk, Lq, Lk] instead of [B, H, Lq, Lk], and the backward pass
+    recomputes per chunk. At stage-2+ sequence lengths (~10-18k tokens) the
+    all-heads fp32 logits the dense path would materialise (several GB per
+    residual) do not fit; this path trades ~no wall-clock for O(H/hc) less
+    memory. (A custom-VJP flash backward is the eventual replacement.)
+    """
+    b, lq, h, d = q.shape
+    hkv = k.shape[2]
+    if hkv != h:
+        rep = h // hkv
+        k = jnp.repeat(k, rep, axis=2)
+        v = jnp.repeat(v, rep, axis=2)
+    hc = math.gcd(head_chunk, h)
+    n_chunks = h // hc
+    qc = jnp.moveaxis(q.reshape(b, lq, n_chunks, hc, d), 2, 0)
+    kc = jnp.moveaxis(k.reshape(b, k.shape[1], n_chunks, hc, d), 2, 0)
+    vc = jnp.moveaxis(v.reshape(b, v.shape[1], n_chunks, hc, d), 2, 0)
+
+    @jax.checkpoint
+    def one(args):
+        qi, ki, vi = args
+        return mha_reference(qi, ki, vi, bias)
+
+    out = jax.lax.map(one, (qc, kc, vc))  # [n_chunks, B, Lq, hc, D]
+    return jnp.moveaxis(out, 0, 2).reshape(b, lq, h, d)
+
+
 def attend(q: jax.Array, k: jax.Array, v: jax.Array,
            q_meta: AttnMeta, k_meta: AttnMeta, impl: str = "auto",
            bias: Optional[jax.Array] = None) -> jax.Array:
@@ -103,13 +136,19 @@ def attend(q: jax.Array, k: jax.Array, v: jax.Array,
     across layers/steps; the dense fallback derives its own."""
     if impl in ("auto", "pallas"):
         try:
-            from .flash_attention import flash_attention_supported, flash_mha
+            from .flash_attention import (flash_attention_supported,
+                                          flash_mha, flash_mha_biased)
             if flash_attention_supported(q, k, v):
-                return flash_mha(q, k, v, q_meta, k_meta, bias=bias)
+                if bias is not None:
+                    # differentiable path (custom-VJP Pallas backward)
+                    return flash_mha_biased(q, k, v, bias)
+                return flash_mha(q, k, v, q_meta, k_meta)
         except ImportError:
             pass
         if impl == "pallas":
             raise RuntimeError("pallas flash attention unavailable for these "
                                f"shapes: q={q.shape} k={k.shape}")
     dense_bias = attention_bias(q_meta, k_meta, jnp.float32)
+    if impl == "chunked":
+        return mha_chunked(q, k, v, dense_bias)
     return mha_reference(q, k, v, dense_bias)

@@ -10,13 +10,21 @@ Replaces the reference's dense-mask SDPA/fused-attention path
   q-blocks innermost so K/V stay resident in VMEM across the whole row of a
   head (~30x less K/V DMA than a q-outer order). The kernel's VPU work is
   just softmax.
-- **inline mode** (long sequences where a [B, Lq, Lk] bias won't fit): the
+- **inline mode** (when the [B, Lq, Lk] bias exceeds its HBM budget): the
   visibility rule is evaluated in-kernel from per-token int32 vectors, with
   the bias cached in VMEM scratch and reused across heads (grid (B,
-  q-blocks, H)). O(L) memory — this is the stage-4 path (1.28M tokens).
+  q-blocks, H)); O(L) host/HBM memory.
 
-Forward-only: training uses the jnp reference path (differentiable); a
-custom-VJP flash backward is future work.
+Both modes keep the full key row per (batch, head) in VMEM, which caps them
+at ~8k keys on v5e (16MB VMEM); longer sequences fall back to the
+dense/chunked jnp paths. A k-streaming (online-softmax) kernel for stage-4
+scale (1.28M tokens) is future work.
+
+Training: :func:`flash_mha_biased` wraps the bias mode in a ``custom_vjp``
+whose backward is also a Pallas kernel (one-pass, softmax recomputed per
+q-block against VMEM-resident K/V, dK/dV accumulated in revisited f32
+output blocks). Sequences beyond the bias budget train via the
+differentiable head-chunked jnp path (ops.attention.mha_chunked).
 """
 from __future__ import annotations
 
@@ -32,6 +40,10 @@ from .attention import AttnMeta
 
 NEG = -0.7 * float(jnp.finfo(jnp.float32).max)
 BF16_NEG = float(jnp.finfo(jnp.bfloat16).min) * 0.5
+
+# module-level interpret toggle (CPU tests flip this; per-call `interpret`
+# args still win where exposed)
+INTERPRET = False
 
 
 def _round_up(x: int, m: int) -> int:
@@ -131,6 +143,137 @@ def _inline_kernel(q_idx_ref, q_blk_ref, q_off_ref, q_pad_ref,
                           ).astype(o_ref.dtype)
 
 
+def _bwd_kernel(bias_ref, q_ref, k_ref, v_ref, o_ref, do_ref,
+                dq_ref, dk_ref, dv_ref, *, scale: float, group: int):
+    """One-pass backward: grid (B, H, q-blocks), dK/dV accumulated in
+    revisited f32 output blocks. The softmax is recomputed per q-block over
+    the full key row (K/V are VMEM-resident), so no l/m residuals are needed
+    (cf. the streaming two-kernel scheme in
+    jax.experimental.pallas.ops.tpu.flash_attention)."""
+    hi = pl.program_id(1)
+    qi = pl.program_id(2)
+
+    @pl.when((qi == 0) & (hi % group == 0))
+    def _():
+        # dK/dV accumulate in bf16: the f32 versions push VMEM past 16MB at
+        # ~7k-key rows (accumulation noise measured ~1e-3 vs dense grads)
+        dk_ref[0, 0] = jnp.zeros_like(dk_ref[0, 0])
+        dv_ref[0, 0] = jnp.zeros_like(dv_ref[0, 0])
+
+    q = q_ref[0, 0]                    # [bq, Dp]
+    k = k_ref[0, 0]                    # [Lkp, Dp]
+    v = v_ref[0, 0]
+    do = do_ref[0, 0].astype(jnp.float32)
+    o = o_ref[0, 0].astype(jnp.float32)
+    di = jnp.sum(o * do, axis=-1, keepdims=True)  # [bq, 1]
+
+    s = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())),
+                            preferred_element_type=jnp.float32) * scale
+    s = s + bias_ref[0].astype(jnp.float32)
+    m = jnp.max(s, axis=-1, keepdims=True)
+    p = jnp.exp(s - m)
+    p = p / jnp.sum(p, axis=-1, keepdims=True)   # [bq, Lkp]
+
+    dp = jax.lax.dot_general(do, v.astype(jnp.float32),
+                             (((1,), (1,)), ((), ())),
+                             preferred_element_type=jnp.float32)
+    ds = p * (dp - di) * scale                    # [bq, Lkp]
+    dq_ref[0, 0] = jnp.dot(ds, k.astype(jnp.float32),
+                           preferred_element_type=jnp.float32
+                           ).astype(dq_ref.dtype)
+    dk_ref[0, 0] += jax.lax.dot_general(
+        ds, q.astype(jnp.float32), (((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32).astype(dk_ref.dtype)
+    dv_ref[0, 0] += jax.lax.dot_general(
+        p, do, (((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32).astype(dv_ref.dtype)
+
+
+def _flash_bwd(q, k, v, bias, o, do, scale, block_q=None):
+    b, lq, h, d = q.shape
+    lk, hkv = k.shape[1], k.shape[2]
+    if block_q is None:
+        # measured: backward VMEM ~ Lk*(1536 + 44*bq) bytes on v5e
+        lk_pad = _round_up(lk, 128)
+        block_q = max(8, min(32, int((15e6 / lk_pad - 1536) / 44) // 8 * 8))
+    dp_ = _round_up(d, 128)
+    bq = min(block_q, _round_up(lq, 8))
+    lqp = _round_up(lq, bq)
+    lkp = _round_up(lk, 128)
+    group = h // hkv
+
+    def padt(x):
+        return jnp.pad(x.transpose(0, 2, 1, 3),
+                       ((0, 0), (0, 0), (0, lqp - x.shape[1]),
+                        (0, dp_ - d)))
+
+    qt, kt, vt, ot, dot_ = padt(q), jnp.pad(
+        k.transpose(0, 2, 1, 3),
+        ((0, 0), (0, 0), (0, lkp - lk), (0, dp_ - d))), jnp.pad(
+        v.transpose(0, 2, 1, 3),
+        ((0, 0), (0, 0), (0, lkp - lk), (0, dp_ - d))), padt(o), padt(do)
+    # bias arrives padded for the forward's block_q; re-pad rows if needed
+    if bias.shape[1] != lqp:
+        bias = jnp.pad(bias[:, :lq], ((0, 0), (0, lqp - lq), (0, 0)),
+                       constant_values=0.0)
+
+    grid = (b, h, lqp // bq)
+    qspec = pl.BlockSpec((1, 1, bq, dp_), lambda bi, hi, qi: (bi, hi, qi, 0),
+                         memory_space=pltpu.VMEM)
+    kvspec = pl.BlockSpec((1, 1, lkp, dp_),
+                          lambda bi, hi, qi: (bi, hi // group, 0, 0),
+                          memory_space=pltpu.VMEM)
+    bias_spec = pl.BlockSpec((1, bq, lkp), lambda bi, hi, qi: (bi, qi, 0),
+                             memory_space=pltpu.VMEM)
+    dkv_spec = pl.BlockSpec((1, 1, lkp, dp_),
+                            lambda bi, hi, qi: (bi, hi // group, 0, 0),
+                            memory_space=pltpu.VMEM)
+
+    dq, dk, dv = pl.pallas_call(
+        functools.partial(_bwd_kernel, scale=scale, group=group),
+        grid=grid,
+        in_specs=[bias_spec, qspec, kvspec, kvspec, qspec, qspec],
+        out_specs=(qspec, dkv_spec, dkv_spec),
+        out_shape=(
+            jax.ShapeDtypeStruct((b, h, lqp, dp_), jnp.float32),
+            jax.ShapeDtypeStruct((b, hkv, lkp, dp_), k.dtype),
+            jax.ShapeDtypeStruct((b, hkv, lkp, dp_), v.dtype),
+        ),
+        interpret=INTERPRET,
+    )(bias, qt, kt, vt, ot, dot_)
+    dq = dq[:, :, :lq, :d].transpose(0, 2, 1, 3).astype(q.dtype)
+    dk = dk[:, :, :lk, :d].transpose(0, 2, 1, 3).astype(k.dtype)
+    dv = dv[:, :, :lk, :d].transpose(0, 2, 1, 3).astype(v.dtype)
+    return dq, dk, dv
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4,))
+def flash_mha_biased(q, k, v, bias, block_q: Optional[int] = None):
+    """Differentiable bias-mode flash attention (forward == flash_mha with a
+    precomputed bias; backward is a Pallas kernel as well)."""
+    return _flash_fwd_impl(q, k, v, bias, block_q)
+
+
+def _flash_fwd_impl(q, k, v, bias, block_q):
+    dummy = AttnMeta(*([None] * 7))  # bias mode ignores metadata
+    return flash_mha(q, k, v, dummy, dummy, bias=bias, block_q=block_q)
+
+
+def _flash_fwd_rule(q, k, v, bias, block_q):
+    o = _flash_fwd_impl(q, k, v, bias, block_q)
+    return o, (q, k, v, bias, o)
+
+
+def _flash_bwd_rule(block_q, res, do):
+    q, k, v, bias, o = res
+    scale = q.shape[-1] ** -0.5
+    dq, dk, dv = _flash_bwd(q, k, v, bias, o, do, scale)
+    return dq, dk, dv, None
+
+
+flash_mha_biased.defvjp(_flash_fwd_rule, _flash_bwd_rule)
+
+
 def flash_attention_supported(q, k, v) -> bool:
     try:
         platform = q.devices().pop().platform if hasattr(q, "devices") \
@@ -141,7 +284,9 @@ def flash_attention_supported(q, k, v) -> bool:
         return False
     b, lq, h, d = q.shape
     hkv = k.shape[2]
-    return h % hkv == 0 and d <= 128
+    # full key rows live in VMEM: beyond ~8k keys the kernels cannot fit
+    return (h % hkv == 0 and d <= 128
+            and _round_up(k.shape[1], 128) <= 8192)
 
 
 def flash_mha(q: jax.Array, k: jax.Array, v: jax.Array,
@@ -154,8 +299,13 @@ def flash_mha(q: jax.Array, k: jax.Array, v: jax.Array,
     b, lq, h, d = q.shape
     lk, hkv = k.shape[1], k.shape[2]
     if block_q is None:
-        # measured sweet spots on v5e (bq=512 exceeds the 16MB VMEM budget)
-        block_q = 256 if bias is not None else 128
+        # measured VMEM points on v5e: (bq=256, Lk=5376) -> 15.8M OK;
+        # (bq=128, Lk=6912) -> 16.9M OOM; (bq=96, Lk=6912) fits
+        lk_pad = _round_up(k.shape[1], 128)
+        if lk_pad <= 5504:
+            block_q = 256 if bias is not None else 128
+        else:
+            block_q = 96 if bias is not None else 64
     scale = d ** -0.5
     dp = _round_up(d, 128)
     block_q = min(block_q, _round_up(lq, 8))
@@ -178,7 +328,11 @@ def flash_mha(q: jax.Array, k: jax.Array, v: jax.Array,
     )
 
     if bias is not None:
-        assert bias.shape == (b, lqp, lkp), (bias.shape, (b, lqp, lkp))
+        if bias.shape[1] != lqp or bias.shape[2] != lkp:
+            # bias was padded for a different block size; re-pad
+            assert bias.shape[1] >= lq and bias.shape[2] >= lkp
+            bias = jnp.pad(bias[:, :lq, :lkp],
+                           ((0, 0), (0, lqp - lq), (0, 0)))
         # K/V stay VMEM-resident across the q sweep of each head
         grid = (b, h, lqp // block_q)
         out = pl.pallas_call(
@@ -202,7 +356,7 @@ def flash_mha(q: jax.Array, k: jax.Array, v: jax.Array,
                                    lambda bi, hi, qi: (bi, hi, qi, 0),
                                    memory_space=pltpu.VMEM),
             out_shape=out_shape,
-            interpret=interpret,
+            interpret=interpret or INTERPRET,
             cost_estimate=cost,
         )(bias, qt, kt, vt)
         return out[:, :, :lq, :d].transpose(0, 2, 1, 3)
@@ -253,7 +407,7 @@ def flash_mha(q: jax.Array, k: jax.Array, v: jax.Array,
         out_specs=qspec(),
         out_shape=out_shape,
         scratch_shapes=[pltpu.VMEM((block_q, lkp), jnp.bfloat16)],
-        interpret=interpret,
+        interpret=interpret or INTERPRET,
         cost_estimate=cost,
     )(q_idx, q_blk, q_off, q_pad, vis, k_blk, k_role, qt, kt, vt)
     return out[:, :, :lq, :d].transpose(0, 2, 1, 3)

@@ -58,7 +58,8 @@ def sample(
     denoise_fn(z, t) -> model prediction with the same shape; t is [N].
     """
     sigmas = jnp.asarray(sigma_schedule(cfg.num_steps,
-                                        cfg.time_shifting_factor))
+                                        cfg.time_shifting_factor,
+                                        cfg.begin_time))
     guide = guidance_fn if guidance_fn is not None else (
         lambda v: cfg_mix(v, cfg_scale))
 

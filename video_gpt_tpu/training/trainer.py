@@ -50,8 +50,21 @@ class Trainer:
         self.cfg = train_cfg
         dtype = jnp.bfloat16 if train_cfg.mixed_precision == "bf16" \
             else jnp.float32
+        overrides = {}
         if train_cfg.gradient_checkpointing and not model_cfg.remat:
-            model_cfg = ModelConfig(**{**model_cfg.__dict__, "remat": True})
+            overrides["remat"] = True
+        if model_cfg.attn_impl in ("auto", "pallas"):
+            # 'auto' trains through the custom-VJP flash kernel when the
+            # precomputed bias fits; beyond that budget (very long context)
+            # fall back to the differentiable head-chunked path, since the
+            # inline Pallas mode is forward-only
+            from ..layout import tokens_per_frame as _tpf
+            n_img = _tpf(*target_resolution)
+            est_l = 2 * train_cfg.frame_num * (n_img + 2)
+            if est_l > 8192:  # beyond the kernels' VMEM-resident key cap
+                overrides["attn_impl"] = "chunked"
+        if overrides:
+            model_cfg = ModelConfig(**{**model_cfg.__dict__, **overrides})
             self.model_cfg = model_cfg
         self.model = VideoGPT(model_cfg, dtype=dtype, train_init=True,
                               input_head=train_cfg.input_output_return)
@@ -151,6 +164,15 @@ class Trainer:
 
         t0 = time.time()
         running = []
+        try:
+            return self._loop(start_step, max_steps, state, prefetcher,
+                              shutdown, ckpt_dir, log_writer, t0, running)
+        finally:
+            prefetcher.close()
+
+    def _loop(self, start_step, max_steps, state, prefetcher, shutdown,
+              ckpt_dir, log_writer, t0, running):
+        cfg = self.cfg
         for step_idx in range(start_step, max_steps):
             if shutdown.requested.is_set():
                 ckpt.save_checkpoint(ckpt_dir, step_idx, state)
@@ -182,5 +204,4 @@ class Trainer:
             if (step_idx + 1) % cfg.ckpt_every == 0:
                 ckpt.save_checkpoint(ckpt_dir, step_idx + 1, state)
                 print(f"saved checkpoint-{step_idx + 1}", flush=True)
-        prefetcher.close()
         return state
