@@ -128,3 +128,31 @@ def test_flash_vjp_matches_dense_grads():
                 err_msg=f"d{name} mismatch")
     finally:
         fa.INTERPRET = False
+
+
+def test_inline_vjp_matches_dense_grads():
+    """Inline-mode custom VJP (forward Pallas, backward via derived bias)."""
+    from video_gpt_tpu.ops import flash_attention as fa
+    fa.INTERPRET = True
+    try:
+        n = tokens_per_frame(32, 32)
+        layout = build_layout([RowSpec((2, 1), "training")], n)
+        meta = AttnMeta.from_layout(layout)
+        b, l = layout.batch, layout.length
+        q, k, v = _rand_qkv(jax.random.PRNGKey(6), b, l, l, 4, 4, 96)
+        dense_bias = attention_bias(meta, meta)
+        w = jax.random.normal(jax.random.PRNGKey(7), q.shape)
+
+        def loss_inline(q, k, v):
+            return (fa.flash_mha_inline(q, k, v, meta, meta) * w).sum()
+
+        def loss_dense(q, k, v):
+            return (mha_reference(q, k, v, dense_bias) * w).sum()
+
+        g_in = jax.grad(loss_inline, argnums=(0, 1, 2))(q, k, v)
+        g_dn = jax.grad(loss_dense, argnums=(0, 1, 2))(q, k, v)
+        for a, bb in zip(g_in, g_dn):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(bb),
+                                       atol=5e-5, rtol=5e-5)
+    finally:
+        fa.INTERPRET = False

@@ -119,3 +119,51 @@ def test_graceful_shutdown_event():
     time.sleep(0.1)
     assert gs.requested.is_set()
     gs.restore()
+
+
+def test_aux_loss_excludes_padded_clean_slots():
+    """clean_weights masks the shape-padding slots out of the aux loss."""
+    from video_gpt_tpu.data.video import ClipSample
+    from video_gpt_tpu.training.data import collate
+    import numpy as np
+    F = 4
+    rng = np.random.default_rng(0)
+    px = rng.normal(size=(F, 48, 64, 3)).astype(np.float32)
+    # blocks (2,2): 2 real clean frames, padded to F-1=3 slots
+    tb = collate([ClipSample(pixels=px, frame_blocks=(2, 2))], n_img=12)
+    assert tb.clean_sel.shape[0] == 3
+    np.testing.assert_array_equal(np.asarray(tb.inputs.clean_weights),
+                                  [1.0, 1.0, 0.0])
+
+    cfg = ModelConfig.tiny(attn_impl="reference")
+    model = VideoGPT(cfg, dtype=jnp.float32, train_init=True,
+                     input_head=True)
+    latents = jnp.asarray(rng.normal(size=(F, 6, 8, 4)).astype(np.float32))
+    inputs = tb.inputs._replace(
+        x1=jnp.take(latents, tb.noisy_sel, axis=0),
+        clean_latents=jnp.take(latents, tb.clean_sel, axis=0))
+    params = model.init(jax.random.PRNGKey(0), inputs.batch, inputs.x1,
+                        jnp.zeros((F,)), inputs.clean_latents,
+                        input_output_return=True)
+    loss, aux = training_loss(model, params, jax.random.PRNGKey(1), inputs,
+                              max_blocks=F, input_output_return=True)
+    # padded slot contributes exactly zero
+    assert float(aux["input_loss"][2]) == 0.0
+    assert np.isfinite(float(loss))
+
+
+def test_trainer_lora_smoke(tmp_path):
+    from video_gpt_tpu.config import ModelConfig as MC, TrainConfig
+    from video_gpt_tpu.training.trainer import Trainer
+    cfg = TrainConfig(frame_num=4, frame_block_scheme="frame_block",
+                      use_lora=True, lora_rank=2, mixed_precision="no",
+                      lr=1e-3, lr_scheduler="constant", log_every=1,
+                      ckpt_every=1000, results_dir=str(tmp_path))
+    from video_gpt_tpu.models.vae import VAEConfig
+    t = Trainer(MC.tiny(attn_impl="reference", pos_embed_max_size=192), cfg,
+                "/root/reference/vids", vae_cfg=VAEConfig.tiny(),
+                target_resolution=(48, 64))
+    state = t.run(2)
+    # state.params is the adapter tree, not full weights
+    assert "lora_a" in str(jax.tree_util.tree_structure(state.params))
+    assert int(state.step) == 2

@@ -38,6 +38,10 @@ def cmd_train(args):
         use_ema=args.use_ema,
         input_noise=args.input_noise,
         auto_resume=not args.no_auto_resume,
+        use_lora=args.use_lora,
+        lora_rank=args.lora_rank,
+        cls_weight=args.cls_weight,
+        input_output_return=args.input_output_return,
     )
     vae_cfg = VAEConfig.tiny() if args.tiny_model else VAEConfig()
     vae_params = None
@@ -253,6 +257,10 @@ def build_parser() -> argparse.ArgumentParser:
     t.add_argument("--mixed_precision", default="bf16",
                    choices=["bf16", "no"])
     t.add_argument("--use_ema", action="store_true")
+    t.add_argument("--use_lora", action="store_true")
+    t.add_argument("--lora_rank", type=int, default=8)
+    t.add_argument("--cls_weight", type=float, default=None)
+    t.add_argument("--input_output_return", action="store_true")
     t.add_argument("--input_noise", type=float, default=0.9)
     t.add_argument("--no_auto_resume", action="store_true")
     t.add_argument("--model_ckpt", type=str, default=None)

@@ -14,12 +14,14 @@ from typing import Callable, Iterator, Optional
 
 class Prefetcher:
     def __init__(self, make_batch: Callable[[int], object], depth: int = 2,
-                 workers: int = 1):
-        """``make_batch(step_index)`` must be thread-safe."""
+                 workers: int = 1, start: int = 0):
+        """``make_batch(step_index)`` must be thread-safe. ``start`` sets the
+        first index (auto-resumed runs continue the data order instead of
+        replaying from 0)."""
         self._make = make_batch
         self._q: "queue.Queue" = queue.Queue(maxsize=depth)
         self._stop = threading.Event()
-        self._next = 0
+        self._next = start
         self._lock = threading.Lock()
         self._threads = [threading.Thread(target=self._run, daemon=True)
                          for _ in range(workers)]

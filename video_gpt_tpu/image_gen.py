@@ -207,6 +207,39 @@ class ImageGenPipeline:
     vae_params: dict
     processor: ImageGenProcessor
 
+    def _run_fn(self, length, prefix, tail, n_rows, steps, time_shift,
+                prediction_type, guidance_scale, img_guidance_scale):
+        """Compiled prefill+scan program, cached per sequence signature (the
+        video pipeline's _block_fn pattern — a fresh @jax.jit per call would
+        retrace/recompile every generation)."""
+        key = (length, prefix, tail, n_rows, steps, time_shift,
+               prediction_type, guidance_scale, img_guidance_scale)
+        cache_dict = self.__dict__.setdefault("_run_fns", {})
+        if key in cache_dict:
+            return cache_dict[key]
+        sched = SchedulerConfig(num_steps=steps,
+                                time_shifting_factor=time_shift,
+                                prediction_type=prediction_type)
+        model = self.model
+        guidance = self._guidance(n_rows, guidance_scale, img_guidance_scale)
+
+        @jax.jit
+        def run(params, batch, clean, z0):
+            cache = model.apply(params, batch, clean, prefix,
+                                method=VideoGPT.prefill)
+            from .models.video_gpt import maybe_bias
+            bias = maybe_bias(model.cfg, batch.meta.tail(tail), batch.meta)
+
+            def denoise(z, t):
+                return model.apply(params, batch, z, t, cache, tail, bias,
+                                   method=VideoGPT.decode)
+
+            return sample(z0, denoise, sched, use_cfg=True,
+                          cfg_scale=guidance_scale, guidance_fn=guidance)
+
+        cache_dict[key] = run
+        return run
+
     def _guidance(self, n_rows: int, cfg_scale: float, img_scale: float):
         def fn(pred):
             parts = jnp.split(pred, n_rows, axis=0)
@@ -255,6 +288,10 @@ class ImageGenPipeline:
         n_rows = len(rows)
 
         if use_input_image_size_as_output:
+            if not pixels:
+                raise ValueError(
+                    "use_input_image_size_as_output=True requires at least "
+                    "one input image (LVM/pipeline.py:405-407 semantics)")
             height, width = pixels[0].shape[:2]
         f = self.vae.cfg.downsample_factor
         p = self.model.cfg.patch_size
@@ -282,25 +319,11 @@ class ImageGenPipeline:
                                       self.model.cfg.in_channels), dtype)
         z0 = jnp.concatenate([z0] * n_rows, axis=0)
 
-        sched = SchedulerConfig(num_steps=num_inference_steps,
-                                time_shifting_factor=time_shifting_factor,
-                                prediction_type=prediction_type)
-        model = self.model
-        guidance = self._guidance(n_rows, guidance_scale, img_guidance_scale)
-
-        @jax.jit
-        def run(params, clean, z0):
-            cache = model.apply(params, batch, clean, prefix,
-                                method=VideoGPT.prefill)
-
-            def denoise(z, t):
-                return model.apply(params, batch, z, t, cache, tail,
-                                   method=VideoGPT.decode)
-
-            return sample(z0, denoise, sched, use_cfg=True,
-                          cfg_scale=guidance_scale, guidance_fn=guidance)
-
-        latents = run(self.params, clean, z0)[:1]
+        run = self._run_fn(layout.length, prefix, tail, n_rows,
+                           num_inference_steps, time_shifting_factor,
+                           prediction_type, guidance_scale,
+                           img_guidance_scale)
+        latents = run(self.params, batch, clean, z0)[:1]
         out = self.vae.apply(self.vae_params, latents,
                              method=AutoencoderKL.decode)
         return postprocess_frames(np.asarray(out, np.float32))

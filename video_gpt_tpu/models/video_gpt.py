@@ -56,6 +56,28 @@ class Batch(NamedTuple):
         )
 
 
+def maybe_bias(cfg: ModelConfig, q_meta: AttnMeta, k_meta: AttnMeta):
+    """Precompute the (layer- and step-invariant) attention bias when the
+    flash fast path will consume it and it fits the size/VMEM budgets.
+    Callers that loop (the sampler's scan) should compute this ONCE and pass
+    it to ``decode`` rather than paying the evaluation per step."""
+    import jax as _jax
+    if cfg.attn_impl not in ("auto", "pallas"):
+        return None
+    if _jax.default_backend() != "tpu":
+        return None
+    b, lq = q_meta.index.shape
+    lk = k_meta.vis_start.shape[1]
+    if b * lq * lk > cfg.precompute_bias_limit:
+        return None
+    if -(-lk // 128) * 128 > 8192:
+        # mirrors flash_attention_supported's VMEM-resident key cap:
+        # beyond it the dense fallback derives its own bias
+        return None
+    from ..ops.flash_attention import precompute_bias
+    return precompute_bias(q_meta, k_meta)
+
+
 def _scatter(emb: jax.Array, src: jax.Array, values: jax.Array) -> jax.Array:
     """Replace emb[b, l] with values[src[b, l]] where src >= 0."""
     flat = values.reshape(-1, values.shape[-1])
@@ -139,19 +161,7 @@ class VideoGPT(nn.Module):
                           self.cfg.in_channels)
 
     def _maybe_bias(self, q_meta: AttnMeta, k_meta: AttnMeta):
-        """Precompute the (layer- and step-invariant) attention bias when the
-        flash fast path will consume it and it fits the size budget."""
-        import jax as _jax
-        if self.cfg.attn_impl not in ("auto", "pallas"):
-            return None
-        if _jax.default_backend() != "tpu":
-            return None
-        b, lq = q_meta.index.shape
-        lk = k_meta.vis_start.shape[1]
-        if b * lq * lk > self.cfg.precompute_bias_limit:
-            return None
-        from ..ops.flash_attention import precompute_bias
-        return precompute_bias(q_meta, k_meta)
+        return maybe_bias(self.cfg, q_meta, k_meta)
 
     # ---- forward variants --------------------------------------------------
 
@@ -190,7 +200,8 @@ class VideoGPT(nn.Module):
         return cache
 
     def decode(self, batch: Batch, noisy_latents: jax.Array, t: jax.Array,
-               cache: KVCache, tail_len: int) -> jax.Array:
+               cache: KVCache, tail_len: int,
+               bias: Optional[jax.Array] = None) -> jax.Array:
         """One denoise evaluation over the noisy tail against the cache."""
         lt = tail_len
         full_l = batch.input_ids.shape[1]
@@ -203,9 +214,10 @@ class VideoGPT(nn.Module):
         emb = _scatter(emb, noisy_src, x)
         emb = _scatter(emb, time_src, self.time_token(t))
         q_meta = batch.meta.tail(lt)
+        if bias is None:
+            bias = self._maybe_bias(q_meta, batch.meta)
         hidden, _ = self.llm(emb, batch.pos_ids[:, -lt:], q_meta, batch.meta,
-                             cache=cache,
-                             bias=self._maybe_bias(q_meta, batch.meta))
+                             cache=cache, bias=bias)
         # remap full-sequence gather indices onto the tail
         g = batch.noisy_gather
         b_idx, pos = g // full_l, g % full_l

@@ -137,12 +137,12 @@ def attend(q: jax.Array, k: jax.Array, v: jax.Array,
     if impl in ("auto", "pallas"):
         try:
             from .flash_attention import (flash_attention_supported,
-                                          flash_mha, flash_mha_biased)
+                                          flash_mha_biased, flash_mha_inline)
             if flash_attention_supported(q, k, v):
+                # both paths are differentiable (custom-VJP Pallas backward)
                 if bias is not None:
-                    # differentiable path (custom-VJP Pallas backward)
                     return flash_mha_biased(q, k, v, bias)
-                return flash_mha(q, k, v, q_meta, k_meta)
+                return flash_mha_inline(q, k, v, q_meta, k_meta)
         except ImportError:
             pass
         if impl == "pallas":

@@ -247,6 +247,30 @@ def _flash_bwd(q, k, v, bias, o, do, scale, block_q=None):
     return dq, dk, dv
 
 
+def flash_mha_inline(q, k, v, q_meta: AttnMeta, k_meta: AttnMeta):
+    """Differentiable inline-mode flash attention: Pallas forward with the
+    in-kernel mask; the backward derives the bias (bounded by the 8k-key
+    kernel cap, so at most ~130MB bf16) and runs the Pallas backward kernel.
+    The metadata is closed over so the custom_vjp only differentiates
+    q/k/v."""
+
+    @jax.custom_vjp
+    def f(q, k, v):
+        return flash_mha(q, k, v, q_meta, k_meta)
+
+    def fwd(q, k, v):
+        o = flash_mha(q, k, v, q_meta, k_meta)
+        return o, (q, k, v, o)
+
+    def bwd(res, do):
+        q, k, v, o = res
+        bias = precompute_bias(q_meta, k_meta)
+        return _flash_bwd(q, k, v, bias, o, do, q.shape[-1] ** -0.5)
+
+    f.defvjp(fwd, bwd)
+    return f(q, k, v)
+
+
 @functools.partial(jax.custom_vjp, nondiff_argnums=(4,))
 def flash_mha_biased(q, k, v, bias, block_q: Optional[int] = None):
     """Differentiable bias-mode flash attention (forward == flash_mha with a

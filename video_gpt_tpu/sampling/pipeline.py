@@ -85,10 +85,14 @@ class VideoGPTPipeline:
                                     method=VideoGPT.prefill)
             else:
                 cache = None
+            # step-invariant: evaluate the mask bias ONCE, outside the scan
+            from ..models.video_gpt import maybe_bias
+            bias = maybe_bias(model.cfg, batch.meta.tail(tail_len),
+                              batch.meta)
 
             def denoise(z, t):
                 return model.apply(params, batch, z, t, cache, tail_len,
-                                   method=VideoGPT.decode)
+                                   bias, method=VideoGPT.decode)
 
             return sample(z0, denoise, sched, use_cfg=use_cfg,
                           cfg_scale=cfg_scale)
@@ -115,9 +119,10 @@ class VideoGPTPipeline:
     ):
         """Condition on ``input_frames``, roll out ``gen_nums`` clips.
 
-        Returns PIL frames: the (VAE-roundtripped) conditioning frames first,
-        then every generated frame, mirroring the reference output
-        (LVM/pipeline.py:558-590).
+        Returns PIL frames: the (VAE-roundtripped) conditioning frames of the
+        FIRST block's window first (like the reference, window sliding
+        applies before the initial emit — LVM/pipeline.py:418-422, 558-570),
+        then every generated frame (LVM/pipeline.py:572-590).
         """
         if img_guidance_scale == 1.0:
             use_img_guidance = False

@@ -29,8 +29,8 @@ class TrainBatch(NamedTuple):
     clean_valid: jnp.ndarray  # [Nc_max] 1.0 for real clean frames
 
 
-def collate(samples: Sequence, n_img: int, sp_multiple: int = 1
-            ) -> TrainBatch:
+def collate(samples: Sequence, n_img: int, sp_multiple: int = 1,
+            cls_weight: float = None) -> TrainBatch:
     """samples: ClipSample list sharing frame_num and resolution."""
     F = samples[0].pixels.shape[0]
     B = len(samples)
@@ -59,12 +59,21 @@ def collate(samples: Sequence, n_img: int, sp_multiple: int = 1
     layout.clean_gather = clean_gather  # fixed-shape view for the aux head
 
     pixels = np.concatenate([s.pixels for s in samples], axis=0)
+    frame_weights = None
+    if cls_weight is not None:
+        # up-weight the first frame of each clip (reference cls_weight,
+        # LVM/train_helper/loss.py:227-232)
+        frame_weights = jnp.asarray(np.where(
+            layout.noisy_video_frame == 0, cls_weight, 1.0
+        ).astype(np.float32))
     inputs = LossInputs(
         batch=Batch.from_layout(layout),
         x1=None,                      # filled on device after VAE encode
         clean_latents=None,
         noisy_frame_row=jnp.asarray(layout.noisy_frame_row),
         noisy_frame_block=jnp.asarray(layout.noisy_frame_block),
+        frame_weights=frame_weights,
+        clean_weights=jnp.asarray(clean_valid),
     )
     return TrainBatch(
         inputs=inputs,

@@ -28,15 +28,15 @@ def init_lora(params: Dict, rank: int, rng: jax.Array,
               targets: Sequence[str] = DEFAULT_TARGETS) -> Dict:
     """Adapter tree mirroring the structure of targeted kernels.
 
-    A ~ N(0, 1/r) (peft kaiming-ish), B = 0 so the merged model starts
-    exactly at the base weights."""
+    A ~ N(0, 1/sqrt(fan_in)) (peft's kaiming-style init), B = 0 so the
+    merged model starts exactly at the base weights."""
     lora = {}
     for path, leaf in _walk(params):
         if len(path) >= 2 and path[-1] == "kernel" and path[-2] in targets:
             rng, r = jax.random.split(rng)
             *lead, fan_in, fan_out = leaf.shape
             a = jax.random.normal(r, (*lead, fan_in, rank),
-                                  jnp.float32) / rank
+                                  jnp.float32) / (fan_in ** 0.5)
             b = jnp.zeros((*lead, rank, fan_out), jnp.float32)
             node = lora
             for k in path[:-1]:
@@ -46,8 +46,8 @@ def init_lora(params: Dict, rank: int, rng: jax.Array,
     return lora
 
 
-def apply_lora(params: Dict, lora: Dict, alpha: float = 1.0) -> Dict:
-    """Merged params: kernel + alpha * A@B where an adapter exists."""
+def apply_lora(params: Dict, lora: Dict, alpha: float = 8.0) -> Dict:
+    """Merged params: kernel + (alpha/r)*A@B (peft scaling convention)."""
 
     def merge(p_node, l_node):
         if not isinstance(p_node, dict):
@@ -58,7 +58,9 @@ def apply_lora(params: Dict, lora: Dict, alpha: float = 1.0) -> Dict:
             if k == "kernel" and isinstance(l_node, dict) \
                     and "lora_a" in l_node:
                 a, b = l_node["lora_a"], l_node["lora_b"]
-                delta = jnp.einsum("...ir,...ro->...io", a, b) * alpha
+                rank = a.shape[-1]
+                delta = jnp.einsum("...ir,...ro->...io", a, b) * (
+                    alpha / rank)
                 out[k] = (v + delta.astype(v.dtype))
             else:
                 out[k] = merge(v, child_l)
@@ -67,7 +69,7 @@ def apply_lora(params: Dict, lora: Dict, alpha: float = 1.0) -> Dict:
     return merge(params, lora)
 
 
-def merge_lora(params: Dict, lora: Dict, alpha: float = 1.0) -> Dict:
+def merge_lora(params: Dict, lora: Dict, alpha: float = 8.0) -> Dict:
     """Materialise merged weights (LVMPipeline.merge_lora,
     LVM/pipeline.py:97-101)."""
     return jax.tree.map(jnp.asarray, apply_lora(params, lora, alpha))

@@ -39,6 +39,8 @@ class LossInputs(NamedTuple):
     noisy_frame_block: jax.Array  # [Nn] int32
     frame_weights: Optional[jax.Array] = None  # [Nn] loss weights (host-built
     # from the layout; covers the reference's cls_weight, loss.py:227-232)
+    clean_weights: Optional[jax.Array] = None  # [Nc] 1.0 for real clean
+    # frames, 0.0 for shape-padding slots (training/data.py collation)
 
 
 def sample_block_timesteps(rng: jax.Array, frame_row: jax.Array,
@@ -108,8 +110,16 @@ def training_loss(
         cerr = (clean.astype(jnp.float32)
                 - clean_pred.astype(jnp.float32)) ** 2
         per_clean = jnp.mean(cerr.reshape(cerr.shape[0], -1), axis=-1)
+        if inputs.clean_weights is not None:
+            # exclude shape-padding clean slots from the aux loss
+            w = inputs.clean_weights.astype(jnp.float32)
+            per_clean = per_clean * w
+            n_clean = jnp.maximum(jnp.sum(w), 1.0)
+        else:
+            n_clean = per_clean.shape[0]
         aux["input_loss"] = per_clean
         # reference concatenates input losses into the loss vector
         # (loss.py:220-225): equivalent to averaging over all frames
-        loss = jnp.mean(jnp.concatenate([per_frame, per_clean]))
+        total = jnp.sum(per_frame) + jnp.sum(per_clean)
+        loss = total / (per_frame.shape[0] + n_clean)
     return loss, aux

@@ -63,6 +63,17 @@ class Trainer:
             est_l = 2 * train_cfg.frame_num * (n_img + 2)
             if est_l > 8192:  # beyond the kernels' VMEM-resident key cap
                 overrides["attn_impl"] = "chunked"
+        # enforce the sequence budget (reference rejects long samples,
+        # LVM/train_helper/data.py:224-225; here shapes are static so the
+        # check is static too)
+        from ..layout import tokens_per_frame as _tpf2
+        est_tokens = 2 * train_cfg.frame_num * (
+            _tpf2(*target_resolution) + 2)
+        if est_tokens > train_cfg.max_input_length_limit:
+            raise ValueError(
+                f"sequence of ~{est_tokens} tokens exceeds "
+                f"max_input_length_limit={train_cfg.max_input_length_limit}; "
+                "lower frame_num/resolution or raise the limit")
         if overrides:
             model_cfg = ModelConfig(**{**model_cfg.__dict__, **overrides})
             self.model_cfg = model_cfg
@@ -111,10 +122,21 @@ class Trainer:
             self._init_params = self.model.init(
                 jax.random.PRNGKey(3), tb.inputs.batch, z,
                 jnp.zeros((nn_,)), cl)
-        state = init_train_state(self.model, self._init_params, self.cfg)
-
         max_blocks = self.cfg.frame_num
-        inner = make_train_step(self.model, self.cfg, max_blocks)
+        if self.cfg.use_lora:
+            # adapter-only fine-tuning: frozen base, LoRA tree in the state
+            # (reference peft path, train_x1_stage1:204-223)
+            from .lora import init_lora
+            from .train_state import make_lora_train_step, make_optimizer
+            lora = init_lora(self._init_params["params"], self.cfg.lora_rank,
+                             jax.random.PRNGKey(4))
+            state = TrainState(step=jnp.zeros((), jnp.int32), params=lora,
+                               opt_state=make_optimizer(self.cfg).init(lora))
+            inner = make_lora_train_step(self.model, self._init_params,
+                                         self.cfg, max_blocks)
+        else:
+            state = init_train_state(self.model, self._init_params, self.cfg)
+            inner = make_train_step(self.model, self.cfg, max_blocks)
         vae = self.vae
 
         def full_step(state: TrainState, vae_params, rng, tb: TrainBatch):
@@ -155,11 +177,12 @@ class Trainer:
             samples = [self.dataset.sample(
                 (idx * cfg.batch_size_per_device + i) % len(self.dataset))
                 for i in range(cfg.batch_size_per_device)]
-            return collate(samples, n_img)
+            return collate(samples, n_img, cls_weight=cfg.cls_weight)
 
         from ..data.prefetch import Prefetcher
         from ..parallel.distributed import GracefulShutdown
-        prefetcher = Prefetcher(make_batch, depth=2, workers=1)
+        prefetcher = Prefetcher(make_batch, depth=2, workers=1,
+                                start=start_step)
         shutdown = GracefulShutdown()
 
         t0 = time.time()
