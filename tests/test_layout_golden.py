@@ -172,3 +172,31 @@ def test_gather_maps_consistency():
     assert (flat_kind[layout.clean_gather.reshape(-1)] == 5).all()
     # noisy tail is contiguous
     assert layout.noisy_tail_len() == 2 * (n + 2)
+
+
+def test_block_aware_mask_matches_reference(ref):
+    """Coarse block-aware variant vs create_block_mask_training
+    (LVM/processor.py:733-774) through process_mllm_input_training."""
+    F, h, w = 4, 32, 32
+    n = tokens_per_frame(h, w)
+    ids, sizes = [], []
+    for i in range(F):
+        ids += [IDS.diffusion, IDS.slot]
+        sizes.append([len(ids), len(ids) + n])
+        ids += [IDS.slot] * n
+        if i < F - 1:
+            ids += [IDS.img_open]
+            sizes.append([len(ids), len(ids) + n])
+            ids += [IDS.slot] * n
+            ids += [IDS.img_close]
+    inputs = [{"input_ids": ids, "pixel_values": [torch.zeros(1, 3, h, w)],
+               "image_sizes": sizes}]
+    coll = ref.Collator(pad_token_id=IDS.pad, sequence_parallel_size=1)
+    pad_ids, pos_ids, mask, _pv, _sizes = coll.process_mllm_input_training(
+        inputs, block_aware=True)
+
+    layout = build_layout([RowSpec((1,) * F, "training", block_aware=True)],
+                          n)
+    np.testing.assert_array_equal(layout.pos_ids, pos_ids.numpy())
+    np.testing.assert_array_equal(render_dense_mask(layout),
+                                  mask.numpy().astype(bool))

@@ -104,18 +104,32 @@ def cmd_generate(args):
     else:
         vae_params = None
 
-    # read conditioning frames: every 4th frame, like the reference driver
-    # (LVM/inference/...:84-87)
-    cap = cv2.VideoCapture(args.video_path)
-    frames = []
-    for i in range(args.clean_image_num):
-        cap.set(cv2.CAP_PROP_POS_FRAMES, i * 4)
-        ok, f = cap.read()
-        if not ok:
-            raise SystemExit(f"cannot read frame {i * 4} of "
-                             f"{args.video_path}")
-        frames.append(cv2.cvtColor(f, cv2.COLOR_BGR2RGB))
-    cap.release()
+    # one video, or every video under --video_path_dir (reference driver
+    # loops a directory, LVM/inference/...:74-105)
+    if args.video_path_dir:
+        from .data.video import list_videos
+        video_paths = list_videos(args.video_path_dir)
+        if not video_paths:
+            raise SystemExit(f"no videos under {args.video_path_dir}")
+    else:
+        if not args.video_path:
+            raise SystemExit("provide --video_path or --video_path_dir")
+        video_paths = [args.video_path]
+
+    def read_conditioning(path):
+        # every 4th frame, like the reference driver (LVM/inference/...:84-87)
+        cap = cv2.VideoCapture(path)
+        frames = []
+        for i in range(args.clean_image_num):
+            cap.set(cv2.CAP_PROP_POS_FRAMES, i * 4)
+            ok, f = cap.read()
+            if not ok:
+                raise SystemExit(f"cannot read frame {i * 4} of {path}")
+            frames.append(cv2.cvtColor(f, cv2.COLOR_BGR2RGB))
+        cap.release()
+        return frames
+
+    frames = read_conditioning(video_paths[0])
 
     # random init fallback (smoke runs without a checkpoint)
     from .layout import frame_block_inference_layout, tokens_per_frame
@@ -141,21 +155,24 @@ def cmd_generate(args):
 
     pipe = VideoGPTPipeline(model=model, params=params, vae=vae,
                             vae_params=vae_params)
-    images = pipe.generate(
-        frames,
-        gen_nums=args.gen_nums,
-        num_inference_steps=args.num_inference_steps,
-        img_guidance_scale=args.img_guidance_scale,
-        max_input_image_size=args.max_input_image_size,
-        max_frame_window=args.max_frame_window,
-        clean_image_noise_level=args.clean_image_noise_level,
-        prediction_type=args.prediction_type,
-        seed=args.seed,
-    )
     os.makedirs(args.save_dir, exist_ok=True)
-    for i, im in enumerate(images):
-        im.save(os.path.join(args.save_dir, f"0_{i}.png"))
-    print(f"saved {len(images)} frames to {args.save_dir}")
+    for k, path in enumerate(video_paths):
+        frames = read_conditioning(path) if k > 0 else frames
+        images = pipe.generate(
+            frames,
+            gen_nums=args.gen_nums,
+            num_inference_steps=args.num_inference_steps,
+            img_guidance_scale=args.img_guidance_scale,
+            max_input_image_size=args.max_input_image_size,
+            max_frame_window=args.max_frame_window,
+            clean_image_noise_level=args.clean_image_noise_level,
+            prediction_type=args.prediction_type,
+            seed=args.seed,
+        )
+        for i, im in enumerate(images):
+            im.save(os.path.join(args.save_dir, f"{k}_{i}.png"))
+        print(f"[{k}] {path}: saved {len(images)} frames to {args.save_dir}",
+              flush=True)
 
 
 def cmd_generate_image(args):
@@ -275,7 +292,10 @@ def build_parser() -> argparse.ArgumentParser:
 
     g = sub.add_parser("generate",
                        help="autoregressive next-clip prediction")
-    g.add_argument("--video_path", type=str, required=True)
+    g.add_argument("--video_path", type=str, default=None)
+    g.add_argument("--video_path_dir", type=str, default=None,
+                   help="run every video in a directory "
+                        "(reference driver behaviour)")
     g.add_argument("--save_dir", type=str, default="result/test/inference")
     g.add_argument("--model_ckpt", type=str, default=None)
     g.add_argument("--vae_ckpt", type=str, default=None)

@@ -25,15 +25,25 @@ VIDEO_EXTENSIONS = (
 )
 
 
-def list_videos(path: str) -> List[str]:
-    """Directory walk or .txt manifest (LVM/train_helper/data.py:122-150)."""
+def list_videos(path: str, min_frames: Optional[int] = None) -> List[str]:
+    """Directory walk or ``path\\tframe_count`` manifest; manifests filter
+    out videos too short to sample (LVM/train_helper/data.py:122-150)."""
     if os.path.isfile(path) and path.lower().endswith(".txt"):
         out = []
         with open(path, "r", encoding="utf-8") as f:
             for line in f:
                 parts = line.strip().split("\t")
-                if len(parts) >= 1 and parts[0]:
-                    out.append(parts[0])
+                if not parts or not parts[0]:
+                    continue
+                if min_frames is not None:
+                    if len(parts) < 2:
+                        continue
+                    try:
+                        if int(parts[1]) < min_frames:
+                            continue
+                    except ValueError:
+                        continue
+                out.append(parts[0])
         return out
     out = []
     for root, _dirs, files in os.walk(path):
@@ -124,7 +134,8 @@ class VideoClipDataset:
         self.max_retry = max_retry
         self._rng = random.Random(seed + shard_index)
 
-        data = list_videos(source) * data_reuse
+        min_frames = (frame_num - 1) * frame_interval + 1
+        data = list_videos(source, min_frames=min_frames) * data_reuse
         if data_limit is not None:
             data = data[:data_limit]
         # contiguous per-host shards (LVM/train_helper/data.py:162-168)

@@ -43,10 +43,16 @@ NEVER = np.int32(2**30)
 
 @dataclasses.dataclass(frozen=True)
 class RowSpec:
-    """One batch row: frame-block partition + layout scheme."""
+    """One batch row: frame-block partition + layout scheme.
+
+    ``block_aware=True`` selects the coarse mask variant where whole frame
+    segments (including the DIFF/TIME/<img>/</img> markers) are mutually
+    visible, instead of the per-role intra-frame offsets
+    (create_block_mask_training, LVM/processor.py:733-774)."""
 
     frame_blocks: Tuple[int, ...]
     scheme: str = "inference"  # 'inference' | 'training'
+    block_aware: bool = False
 
     def __post_init__(self):
         assert self.scheme in ("inference", "training"), self.scheme
@@ -167,7 +173,7 @@ def _build_row(spec: RowSpec, n_img: int, ids: TokenIds):
             r["kind"].append(int(k))
             r["vis_start"].append(int(NEVER))
             r["noisy_block"].append(block_id)
-            r["noisy_role"].append(min(off, 2))
+            r["noisy_role"].append(0 if spec.block_aware else min(off, 2))
             r["q_block"].append(block_id)
             r["q_offset"].append(off)
             r["clean_src"].append(-1)
@@ -186,8 +192,10 @@ def _build_row(spec: RowSpec, n_img: int, ids: TokenIds):
             r["pos_ids"].append(c_pos + off)
             r["kind"].append(int(k))
             # <img> visible from its own row; patches from row+1; </img> from
-            # the frame's final row (LVM/processor.py:697-702).
-            if k == Kind.IMG_OPEN:
+            # the frame's final row (LVM/processor.py:697-702). The
+            # block_aware variant exposes the whole segment from its start
+            # (LVM/processor.py:744-763).
+            if spec.block_aware or k == Kind.IMG_OPEN:
                 vis = start
             elif k == Kind.CLEAN_IMG:
                 vis = start + 1
