@@ -128,6 +128,9 @@ class VideoClipDataset:
         self.flexible_interval = flexible_interval
         self.interval_bound = interval_bound
         self.target_resolution = target_resolution
+        if scheme not in ("interleaved", "frame_block"):
+            raise ValueError(f"unknown scheme {scheme!r}; expected "
+                             "'interleaved' or 'frame_block'")
         self.scheme = scheme
         self.min_side = min_side
         self.max_aspect = max_aspect

@@ -38,7 +38,6 @@ from jax.experimental.pallas import tpu as pltpu
 
 from .attention import AttnMeta
 
-NEG = -0.7 * float(jnp.finfo(jnp.float32).max)
 BF16_NEG = float(jnp.finfo(jnp.bfloat16).min) * 0.5
 
 # module-level interpret toggle (CPU tests flip this; per-call `interpret`
@@ -76,12 +75,21 @@ def _padded_visibility(q_meta: AttnMeta, k_meta: AttnMeta, lqp: int,
             | ((q_pad > 0) & (col < lk)))
 
 
-def precompute_bias(q_meta: AttnMeta, k_meta: AttnMeta, block_q: int = 256
-                    ) -> jax.Array:
-    """bf16 additive bias [B, Lqp, Lkp], padded to kernel tiles."""
+def _fwd_block_q(lq: int, lk: int) -> int:
+    # measured VMEM points on v5e: (bq=256, Lk=5376) -> 15.8M OK;
+    # (bq=128, Lk=6912) -> 16.9M OOM; (bq=96, Lk=6912) fits
+    base = 256 if _round_up(lk, 128) <= 5504 else 96
+    return min(base, _round_up(lq, 8))
+
+
+def precompute_bias(q_meta: AttnMeta, k_meta: AttnMeta,
+                    block_q: Optional[int] = None) -> jax.Array:
+    """bf16 additive bias [B, Lqp, Lkp], padded to the forward kernel's
+    tiles (the auto rule here matches flash_mha's, so no re-pad copy)."""
     lq = q_meta.index.shape[1]
     lk = k_meta.vis_start.shape[1]
-    bq = min(block_q, _round_up(lq, 8))
+    bq = block_q if block_q is not None else _fwd_block_q(lq, lk)
+    bq = min(bq, _round_up(lq, 8))
     lqp = _round_up(lq, bq)
     lkp = _round_up(lk, 128)
     visible = _padded_visibility(q_meta, k_meta, lqp, lkp)
@@ -193,9 +201,12 @@ def _flash_bwd(q, k, v, bias, o, do, scale, block_q=None):
     b, lq, h, d = q.shape
     lk, hkv = k.shape[1], k.shape[2]
     if block_q is None:
-        # measured: backward VMEM ~ Lk*(1536 + 44*bq) bytes on v5e
+        # measured: backward VMEM ~ Lk*(1536 + 44*bq) bytes on v5e. Restricted
+        # to {8,16,32} so forward-padded bias rows (multiples of 256 or 96)
+        # are always reusable without a re-pad copy.
         lk_pad = _round_up(lk, 128)
-        block_q = max(8, min(32, int((15e6 / lk_pad - 1536) / 44) // 8 * 8))
+        fit = int((15e6 / lk_pad - 1536) / 44)
+        block_q = 32 if fit >= 32 else (16 if fit >= 16 else 8)
     dp_ = _round_up(d, 128)
     bq = min(block_q, _round_up(lq, 8))
     lqp = _round_up(lq, bq)
@@ -212,10 +223,11 @@ def _flash_bwd(q, k, v, bias, o, do, scale, block_q=None):
         ((0, 0), (0, 0), (0, lkp - lk), (0, dp_ - d))), jnp.pad(
         v.transpose(0, 2, 1, 3),
         ((0, 0), (0, 0), (0, lkp - lk), (0, dp_ - d))), padt(o), padt(do)
-    # bias arrives padded for the forward's block_q; re-pad rows if needed
-    if bias.shape[1] != lqp:
-        bias = jnp.pad(bias[:, :lq], ((0, 0), (0, lqp - lq), (0, 0)),
-                       constant_values=0.0)
+    # forward-padded bias rows (multiple of 256/96) are directly usable by
+    # the {8,16,32} backward blocks; copy only if genuinely incompatible
+    if bias.shape[1] < lqp or bias.shape[1] % bq or bias.shape[2] != lkp:
+        bias = jnp.pad(bias[:, :lq, :lkp],
+                       ((0, 0), (0, lqp - lq), (0, 0)))
 
     grid = (b, h, lqp // bq)
     qspec = pl.BlockSpec((1, 1, bq, dp_), lambda bi, hi, qi: (bi, hi, qi, 0),
@@ -323,13 +335,11 @@ def flash_mha(q: jax.Array, k: jax.Array, v: jax.Array,
     b, lq, h, d = q.shape
     lk, hkv = k.shape[1], k.shape[2]
     if block_q is None:
-        # measured VMEM points on v5e: (bq=256, Lk=5376) -> 15.8M OK;
-        # (bq=128, Lk=6912) -> 16.9M OOM; (bq=96, Lk=6912) fits
-        lk_pad = _round_up(k.shape[1], 128)
-        if lk_pad <= 5504:
-            block_q = 256 if bias is not None else 128
+        if bias is not None:
+            block_q = _fwd_block_q(lq, lk)
         else:
-            block_q = 96 if bias is not None else 64
+            # inline mode carries extra metadata blocks: smaller tiles
+            block_q = 128 if _round_up(lk, 128) <= 5504 else 64
     scale = d ** -0.5
     dp = _round_up(d, 128)
     block_q = min(block_q, _round_up(lq, 8))
@@ -352,8 +362,10 @@ def flash_mha(q: jax.Array, k: jax.Array, v: jax.Array,
     )
 
     if bias is not None:
-        if bias.shape[1] != lqp or bias.shape[2] != lkp:
-            # bias was padded for a different block size; re-pad
+        if (bias.shape[1] < lqp or bias.shape[1] % block_q
+                or bias.shape[2] != lkp):
+            # padded for an incompatible block size; copy (rare — the auto
+            # block sizes keep forward/backward paddings mutually divisible)
             assert bias.shape[1] >= lq and bias.shape[2] >= lkp
             bias = jnp.pad(bias[:, :lq, :lkp],
                            ((0, 0), (0, lqp - lq), (0, 0)))

@@ -53,22 +53,17 @@ class Trainer:
         overrides = {}
         if train_cfg.gradient_checkpointing and not model_cfg.remat:
             overrides["remat"] = True
-        if model_cfg.attn_impl in ("auto", "pallas"):
+        est_l = 2 * train_cfg.frame_num * (
+            tokens_per_frame(*target_resolution) + 2)
+        if model_cfg.attn_impl in ("auto", "pallas") and est_l > 8192:
             # 'auto' trains through the custom-VJP flash kernel when the
-            # precomputed bias fits; beyond that budget (very long context)
-            # fall back to the differentiable head-chunked path, since the
-            # inline Pallas mode is forward-only
-            from ..layout import tokens_per_frame as _tpf
-            n_img = _tpf(*target_resolution)
-            est_l = 2 * train_cfg.frame_num * (n_img + 2)
-            if est_l > 8192:  # beyond the kernels' VMEM-resident key cap
-                overrides["attn_impl"] = "chunked"
+            # precomputed bias fits; beyond the kernels' VMEM-resident key
+            # cap fall back to the differentiable q/head-chunked path
+            overrides["attn_impl"] = "chunked"
         # enforce the sequence budget (reference rejects long samples,
         # LVM/train_helper/data.py:224-225; here shapes are static so the
         # check is static too)
-        from ..layout import tokens_per_frame as _tpf2
-        est_tokens = 2 * train_cfg.frame_num * (
-            _tpf2(*target_resolution) + 2)
+        est_tokens = est_l
         if est_tokens > train_cfg.max_input_length_limit:
             raise ValueError(
                 f"sequence of ~{est_tokens} tokens exceeds "
@@ -87,9 +82,7 @@ class Trainer:
             flexible_interval=train_cfg.flexible_interval,
             interval_bound=train_cfg.interval_bound,
             target_resolution=target_resolution,
-            scheme=("frame_block"
-                    if train_cfg.frame_block_scheme == "frame_block"
-                    else "interleaved"),
+            scheme=train_cfg.frame_block_scheme,
             seed=seed,
         )
         self.target_resolution = target_resolution
@@ -130,8 +123,11 @@ class Trainer:
             from .train_state import make_lora_train_step, make_optimizer
             lora = init_lora(self._init_params["params"], self.cfg.lora_rank,
                              jax.random.PRNGKey(4))
-            state = TrainState(step=jnp.zeros((), jnp.int32), params=lora,
-                               opt_state=make_optimizer(self.cfg).init(lora))
+            state = TrainState(
+                step=jnp.zeros((), jnp.int32), params=lora,
+                opt_state=make_optimizer(self.cfg).init(lora),
+                ema_params=(jax.tree.map(jnp.copy, lora)
+                            if self.cfg.use_ema else None))
             inner = make_lora_train_step(self.model, self._init_params,
                                          self.cfg, max_blocks)
         else:
@@ -198,24 +194,30 @@ class Trainer:
         cfg = self.cfg
         for step_idx in range(start_step, max_steps):
             if shutdown.requested.is_set():
-                ckpt.save_checkpoint(ckpt_dir, step_idx, state)
+                if ckpt.latest_step(ckpt_dir) != step_idx:
+                    ckpt.save_checkpoint(ckpt_dir, step_idx, state)
                 print(f"shutdown requested: saved checkpoint-{step_idx}",
                       flush=True)
                 break
             tb = prefetcher.get()
-            self.rng, r = jax.random.split(self.rng)
+            # per-step key derived from the global step: resumed runs
+            # continue the noise stream instead of replaying it
+            r = jax.random.fold_in(self.rng, step_idx)
             state, metrics = self._jit_step(state, self._vae_params, r, tb)
-            running.append(float(metrics["loss"]))
+            # keep the device array: float() here would sync every step and
+            # stall async dispatch
+            running.append(metrics["loss"])
 
             if (step_idx + 1) % cfg.log_every == 0 or step_idx == start_step:
                 dt = time.time() - t0
                 sps = len(running) / max(dt, 1e-9)
-                msg = (f"step {step_idx + 1}: loss={np.mean(running):.4f} "
+                mean_loss = float(np.mean([float(x) for x in running]))
+                msg = (f"step {step_idx + 1}: loss={mean_loss:.4f} "
                        f"grad_norm={float(metrics['grad_norm']):.3f} "
                        f"steps/sec={sps:.3f}")
                 print(msg, flush=True)
                 if log_writer is not None:
-                    log_writer.add_scalar("train/loss", np.mean(running),
+                    log_writer.add_scalar("train/loss", mean_loss,
                                           step_idx + 1)
                     log_writer.add_scalar("train/grad_norm",
                                           float(metrics["grad_norm"]),
