@@ -1,0 +1,76 @@
+"""End-to-end autoregressive video pipeline on CPU (tiny model, real frames).
+
+Mirrors the reference's smoke-by-inference practice (SURVEY.md §4) but
+asserted: frames from the bundled sample videos roll through VAE encode ->
+layout -> prefill -> scan denoise -> VAE decode -> PIL, deterministically.
+"""
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from video_gpt_tpu.config import ModelConfig
+from video_gpt_tpu.layout import frame_block_inference_layout, tokens_per_frame
+from video_gpt_tpu.models.vae import AutoencoderKL, VAEConfig
+from video_gpt_tpu.models.video_gpt import Batch, VideoGPT
+from video_gpt_tpu.sampling.pipeline import VideoGPTPipeline
+
+
+@pytest.fixture(scope="module")
+def pipe():
+    cfg = ModelConfig.tiny(attn_impl="reference", pos_embed_max_size=192)
+    model = VideoGPT(cfg, dtype=jnp.float32)
+    vae = AutoencoderKL(VAEConfig.tiny(), dtype=jnp.float32)
+    H = W = 48
+    n = tokens_per_frame(H, W)
+    lay = frame_block_inference_layout(2, 1, n, use_cfg=True)
+    z = jnp.zeros((2, H // 8, W // 8, 4))
+    cl = jnp.zeros((2, H // 8, W // 8, 4))
+    params = model.init(jax.random.PRNGKey(1), Batch.from_layout(lay), z,
+                        jnp.zeros((2,)), cl)
+    vparams = vae.init(jax.random.PRNGKey(2), jnp.zeros((1, H, W, 3)),
+                       jax.random.PRNGKey(3), True)
+    return VideoGPTPipeline(model=model, params=params, vae=vae,
+                            vae_params=vparams)
+
+
+def _frames(n=2):
+    import cv2
+    cap = cv2.VideoCapture("/root/reference/vids/plane.mp4")
+    out = []
+    for i in range(n):
+        cap.set(cv2.CAP_PROP_POS_FRAMES, i * 4)
+        ok, f = cap.read()
+        assert ok
+        out.append(cv2.cvtColor(f, cv2.COLOR_BGR2RGB))
+    cap.release()
+    return out
+
+
+def test_autoregressive_rollout(pipe):
+    frames = _frames(2)
+    out = pipe.generate(frames, gen_nums=[1, 1], num_inference_steps=2,
+                        img_guidance_scale=1.5, max_input_image_size=48,
+                        max_frame_window=4, seed=11)
+    # 2 round-tripped conditions + 2 generated
+    assert len(out) == 4
+    assert all(np.isfinite(np.asarray(im, np.float32)).all() for im in out)
+    # determinism
+    out2 = pipe.generate(frames, gen_nums=[1, 1], num_inference_steps=2,
+                         img_guidance_scale=1.5, max_input_image_size=48,
+                         max_frame_window=4, seed=11)
+    assert all(np.array_equal(np.asarray(a), np.asarray(b))
+               for a, b in zip(out, out2))
+
+
+def test_no_cfg_and_latents(pipe):
+    frames = _frames(2)
+    out, lat = pipe.generate(frames, gen_nums=[1], num_inference_steps=2,
+                             img_guidance_scale=1.0,  # disables CFG
+                             max_input_image_size=48, seed=3,
+                             return_latents=True)
+    assert len(out) == 3 and len(lat) == 1
+    # latent geometry matches the (aspect-preserving) output frames
+    w, h = out[-1].size
+    assert lat[0].shape == (h // 8, w // 8, 4)
