@@ -156,3 +156,31 @@ def test_inline_vjp_matches_dense_grads():
                                        atol=5e-5, rtol=5e-5)
     finally:
         fa.INTERPRET = False
+
+
+def test_streaming_matches_reference_and_grads():
+    """k-streaming kernel (length-unbounded) fwd == dense; grads via the
+    chunked-backward custom VJP."""
+    from video_gpt_tpu.ops import flash_attention as fa
+    fa.INTERPRET = True
+    try:
+        n = tokens_per_frame(32, 48)
+        layout = frame_block_inference_layout(3, 2, n, use_cfg=True)
+        meta = AttnMeta.from_layout(layout)
+        tail = layout.noisy_tail_len()
+        q_meta = meta.tail(tail)
+        b, l = layout.batch, layout.length
+        q, k, v = _rand_qkv(jax.random.PRNGKey(8), b, tail, l, 4, 2, 96)
+        bias = fa.precompute_bias(q_meta, meta)
+        dense = attention_bias(q_meta, meta)
+        ref = mha_reference(q, k, v, dense)
+        out = fa.flash_mha_streaming(q, k, v, bias)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                                   atol=2e-5, rtol=2e-5)
+        g1 = jax.grad(lambda q: (fa.flash_mha_streaming(q, k, v, bias) ** 2
+                                 ).sum())(q)
+        g2 = jax.grad(lambda q: (mha_reference(q, k, v, dense) ** 2).sum())(q)
+        np.testing.assert_allclose(np.asarray(g1), np.asarray(g2),
+                                   atol=5e-5, rtol=5e-5)
+    finally:
+        fa.INTERPRET = False

@@ -70,11 +70,9 @@ def maybe_bias(cfg: ModelConfig, q_meta: AttnMeta, k_meta: AttnMeta):
     lk = k_meta.vis_start.shape[1]
     if b * lq * lk > cfg.precompute_bias_limit:
         return None
-    if -(-lk // 128) * 128 > 8192:
-        # mirrors flash_attention_supported's VMEM-resident key cap:
-        # beyond it the dense fallback derives its own bias
-        return None
     from ..ops.flash_attention import precompute_bias
+    # <= 8k keys: resident kernels; beyond: the k-streaming kernel —
+    # both consume the same precomputed bias
     return precompute_bias(q_meta, k_meta)
 
 

@@ -137,12 +137,17 @@ def attend(q: jax.Array, k: jax.Array, v: jax.Array,
     if impl in ("auto", "pallas"):
         try:
             from .flash_attention import (flash_attention_supported,
-                                          flash_mha_biased, flash_mha_inline)
+                                          flash_mha_biased, flash_mha_inline,
+                                          flash_mha_streaming)
             if flash_attention_supported(q, k, v):
                 # both paths are differentiable (custom-VJP Pallas backward)
                 if bias is not None:
                     return flash_mha_biased(q, k, v, bias)
                 return flash_mha_inline(q, k, v, q_meta, k_meta)
+            if bias is not None and jax.default_backend() == "tpu" \
+                    and q.shape[2] % k.shape[2] == 0 and q.shape[3] <= 128:
+                # beyond the resident kernels' key cap: k-streaming forward
+                return flash_mha_streaming(q, k, v, bias)
         except ImportError:
             pass
         if impl == "pallas":

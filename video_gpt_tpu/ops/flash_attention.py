@@ -15,10 +15,15 @@ Replaces the reference's dense-mask SDPA/fused-attention path
   the bias cached in VMEM scratch and reused across heads (grid (B,
   q-blocks, H)); O(L) host/HBM memory.
 
-Both modes keep the full key row per (batch, head) in VMEM, which caps them
-at ~8k keys on v5e (16MB VMEM); longer sequences fall back to the
-dense/chunked jnp paths. A k-streaming (online-softmax) kernel for stage-4
-scale (1.28M tokens) is future work.
+The resident modes keep the full key row per (batch, head) in VMEM, capping
+them at ~8k keys on v5e (16MB VMEM). Beyond that, :func:`flash_mha_streaming`
+runs the classic online-softmax recurrence over k-tiles with large q-blocks
+(K/V HBM traffic scales with the q-block count): length-unbounded, 57ms at
+the reference's 80-frame-window decode shape (Lq=5.3k, Lk=17.8k) where the
+dense path cannot allocate its 24GB logits at all. Its backward recomputes
+through the chunked jnp path; a streaming Pallas backward (and a
+metadata-inline streaming mode, removing the bias HBM budget) remain future
+work for full stage-4 scale.
 
 Training: :func:`flash_mha_biased` wraps the bias mode in a ``custom_vjp``
 whose backward is also a Pallas kernel (one-pass, softmax recomputed per
@@ -308,6 +313,137 @@ def _flash_bwd_rule(block_q, res, do):
 
 
 flash_mha_biased.defvjp(_flash_fwd_rule, _flash_bwd_rule)
+
+
+def _stream_kernel(bias_ref, q_ref, k_ref, v_ref, o_ref,
+                   m_scr, l_scr, acc_scr, *, scale: float):
+    """Online-softmax streaming forward: grid (B, H, q-blocks, k-blocks),
+    k innermost; running max/denominator/accumulator live in VMEM scratch.
+    No full key row ever resides in VMEM, so sequence length is unbounded
+    (the classic flash recurrence; cf.
+    jax.experimental.pallas.ops.tpu.flash_attention)."""
+    ki = pl.program_id(3)
+    nk = pl.num_programs(3)
+
+    @pl.when(ki == 0)
+    def _():
+        m_scr[:] = jnp.full_like(m_scr, -1e30)
+        l_scr[:] = jnp.zeros_like(l_scr)
+        acc_scr[:] = jnp.zeros_like(acc_scr)
+
+    q = q_ref[0, 0]                    # [bq, Dp]
+    k = k_ref[0, 0]                    # [bk, Dp]
+    v = v_ref[0, 0]
+    s = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())),
+                            preferred_element_type=jnp.float32) * scale
+    s = s + bias_ref[0].astype(jnp.float32)          # [bq, bk]
+
+    m_prev = m_scr[:, :1]                            # [bq, 1]
+    m_new = jnp.maximum(m_prev, jnp.max(s, axis=-1, keepdims=True))
+    alpha = jnp.exp(m_prev - m_new)
+    p = jnp.exp(s - m_new)
+    l_new = l_scr[:, :1] * alpha + jnp.sum(p, axis=-1, keepdims=True)
+    acc_scr[:] = acc_scr[:] * alpha + jnp.dot(
+        p.astype(v.dtype), v, preferred_element_type=jnp.float32)
+    m_scr[:] = jnp.broadcast_to(m_new, m_scr.shape)
+    l_scr[:] = jnp.broadcast_to(l_new, l_scr.shape)
+
+    @pl.when(ki == nk - 1)
+    def _():
+        denom = jnp.maximum(l_scr[:, :1], 1e-30)
+        o_ref[0, 0] = (acc_scr[:] / denom).astype(o_ref.dtype)
+
+
+def _flash_streaming_fwd(q, k, v, bias, block_q=None, block_k=512):
+    b, lq, h, d = q.shape
+    lk, hkv = k.shape[1], k.shape[2]
+    scale = d ** -0.5
+    dp = _round_up(d, 128)
+    if block_q is None:
+        # big q-blocks: K/V HBM traffic scales with the q-block count, and
+        # the per-tile VMEM footprint here is small ([bq, bk] scores only).
+        # 960/1024 divide the bias paddings (multiples of 96/256).
+        rows = _round_up(lq, _fwd_block_q(lq, lk))
+        block_q = next((c for c in (1024, 896, 768, 640, 512, 384, 256, 128)
+                        if rows % c == 0), _fwd_block_q(lq, lk))
+    bq = min(block_q, _round_up(lq, 8))
+    lqp = _round_up(lq, bq)
+    bk = min(block_k, _round_up(lk, 128))
+    lkp = _round_up(lk, bk)
+    group = h // hkv
+
+    qt = jnp.pad(q.transpose(0, 2, 1, 3),
+                 ((0, 0), (0, 0), (0, lqp - lq), (0, dp - d)))
+    kt = jnp.pad(k.transpose(0, 2, 1, 3),
+                 ((0, 0), (0, 0), (0, lkp - lk), (0, dp - d)))
+    vt = jnp.pad(v.transpose(0, 2, 1, 3),
+                 ((0, 0), (0, 0), (0, lkp - lk), (0, dp - d)))
+    if bias.shape[1] < lqp or bias.shape[2] < lkp \
+            or bias.shape[1] % bq or bias.shape[2] % bk:
+        bias = jnp.pad(
+            bias[:, :lq, :lk],
+            ((0, 0), (0, lqp - lq), (0, lkp - lk)),
+            constant_values=BF16_NEG)  # padded keys invisible
+
+    grid = (b, h, lqp // bq, lkp // bk)
+    out = pl.pallas_call(
+        functools.partial(_stream_kernel, scale=scale),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, bq, bk),
+                         lambda bi, hi, qi, ki: (bi, qi, ki),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, bq, dp),
+                         lambda bi, hi, qi, ki: (bi, hi, qi, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, bk, dp),
+                         lambda bi, hi, qi, ki: (bi, hi // group, ki, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, bk, dp),
+                         lambda bi, hi, qi, ki: (bi, hi // group, ki, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, 1, bq, dp),
+                               lambda bi, hi, qi, ki: (bi, hi, qi, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((b, h, lqp, dp), q.dtype),
+        scratch_shapes=[
+            pltpu.VMEM((bq, 128), jnp.float32),   # running max
+            pltpu.VMEM((bq, 128), jnp.float32),   # running denominator
+            pltpu.VMEM((bq, dp), jnp.float32),    # output accumulator
+        ],
+        interpret=INTERPRET,
+    )(bias, qt, kt, vt)
+    return out[:, :, :lq, :d].transpose(0, 2, 1, 3)
+
+
+def flash_mha_streaming(q, k, v, bias):
+    """Length-unbounded streaming attention with a precomputed bias.
+    Large q-blocks keep K/V re-reads low (traffic scales with the q-block
+    count). Differentiable: the backward recomputes through the memory-bounded
+    chunked jnp path (the resident Pallas backward caps at 8k keys)."""
+    from .attention import mha_chunked
+
+    def impl(q, k, v):
+        return _flash_streaming_fwd(q, k, v, bias)
+
+    @jax.custom_vjp
+    def f(q, k, v):
+        return impl(q, k, v)
+
+    def fwd(q, k, v):
+        return impl(q, k, v), (q, k, v)
+
+    def bwd(res, do):
+        q, k, v = res
+        lq, lk = q.shape[1], k.shape[1]
+        dense_bias = bias[None, :, :lq, :lk].swapaxes(0, 1)  # [B,1,Lq,Lk]
+        _, pullback = jax.vjp(
+            lambda q, k, v: mha_chunked(q, k, v, dense_bias), q, k, v)
+        return pullback(do)
+
+    f.defvjp(fwd, bwd)
+    return f(q, k, v)
 
 
 def flash_attention_supported(q, k, v) -> bool:
