@@ -417,6 +417,131 @@ def _flash_streaming_fwd(q, k, v, bias, block_q=None, block_k=512):
     return out[:, :, :lq, :d].transpose(0, 2, 1, 3)
 
 
+def _stream_inline_kernel(q_idx_ref, q_blk_ref, q_off_ref, q_pad_ref,
+                          vis_ref, k_blk_ref, k_role_ref,
+                          q_ref, k_ref, v_ref, o_ref,
+                          m_scr, l_scr, acc_scr, *,
+                          scale: float, lk_real: int, block_k: int):
+    """Streaming forward with the visibility rule evaluated per tile from
+    metadata — no [Lq, Lk] bias in HBM, so sequence length is bounded only
+    by HBM for K/V themselves (the stage-4 inference path)."""
+    ki = pl.program_id(3)
+    nk = pl.num_programs(3)
+
+    @pl.when(ki == 0)
+    def _():
+        m_scr[:] = jnp.full_like(m_scr, -1e30)
+        l_scr[:] = jnp.zeros_like(l_scr)
+        acc_scr[:] = jnp.zeros_like(acc_scr)
+
+    q = q_ref[0, 0]
+    k = k_ref[0, 0]
+    v = v_ref[0, 0]
+    s = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())),
+                            preferred_element_type=jnp.float32) * scale
+    q_idx = q_idx_ref[0, 0][:, None]
+    q_blk = q_blk_ref[0, 0][:, None]
+    q_off = q_off_ref[0, 0][:, None]
+    q_pad = q_pad_ref[0, 0][:, None]
+    vis = vis_ref[0, 0][None, :]
+    k_blk = k_blk_ref[0, 0][None, :]
+    k_role = k_role_ref[0, 0][None, :]
+    col = (jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
+           + ki * block_k)
+    visible = (q_idx >= vis) | (
+        (k_blk >= 0) & (k_blk == q_blk) & (q_off >= k_role)) | (
+        (q_pad > 0) & (col < lk_real))
+    s = jnp.where(visible, s, -1e30)
+
+    m_prev = m_scr[:, :1]
+    m_new = jnp.maximum(m_prev, jnp.max(s, axis=-1, keepdims=True))
+    alpha = jnp.exp(m_prev - m_new)
+    p = jnp.exp(s - m_new)
+    l_scr[:] = jnp.broadcast_to(
+        l_scr[:, :1] * alpha + jnp.sum(p, axis=-1, keepdims=True),
+        l_scr.shape)
+    acc_scr[:] = acc_scr[:] * alpha + jnp.dot(
+        p.astype(v.dtype), v, preferred_element_type=jnp.float32)
+    m_scr[:] = jnp.broadcast_to(m_new, m_scr.shape)
+
+    @pl.when(ki == nk - 1)
+    def _():
+        denom = jnp.maximum(l_scr[:, :1], 1e-30)
+        o_ref[0, 0] = (acc_scr[:] / denom).astype(o_ref.dtype)
+
+
+def flash_mha_streaming_inline(q, k, v, q_meta: AttnMeta, k_meta: AttnMeta,
+                               block_q: int = 512, block_k: int = 512):
+    """Forward-only metadata streaming attention (O(L) mask memory)."""
+    b, lq, h, d = q.shape
+    lk, hkv = k.shape[1], k.shape[2]
+    scale = d ** -0.5
+    dp = _round_up(d, 128)
+    bq = min(block_q, _round_up(lq, 8))
+    lqp = _round_up(lq, bq)
+    bk = min(block_k, _round_up(lk, 128))
+    lkp = _round_up(lk, bk)
+    group = h // hkv
+
+    qt = jnp.pad(q.transpose(0, 2, 1, 3),
+                 ((0, 0), (0, 0), (0, lqp - lq), (0, dp - d)))
+    kt = jnp.pad(k.transpose(0, 2, 1, 3),
+                 ((0, 0), (0, 0), (0, lkp - lk), (0, dp - d)))
+    vt = jnp.pad(v.transpose(0, 2, 1, 3),
+                 ((0, 0), (0, 0), (0, lkp - lk), (0, dp - d)))
+
+    def padq(x, fill):
+        return jnp.pad(x, ((0, 0), (0, lqp - lq)),
+                       constant_values=fill)[:, None, :]
+
+    def padk(x, fill):
+        return jnp.pad(x, ((0, 0), (0, lkp - lk)),
+                       constant_values=fill)[:, None, :]
+
+    meta_in = (padq(q_meta.index, 0), padq(q_meta.q_block, -2),
+               padq(q_meta.q_offset, 0), padq(q_meta.is_pad, 1),
+               padk(k_meta.vis_start, 2**30),
+               padk(k_meta.noisy_block, -1), padk(k_meta.noisy_role, 0))
+
+    grid = (b, h, lqp // bq, lkp // bk)
+
+    def qmeta_spec():
+        return pl.BlockSpec((1, 1, bq), lambda bi, hi, qi, ki: (bi, 0, qi),
+                            memory_space=pltpu.VMEM)
+
+    def kmeta_spec():
+        return pl.BlockSpec((1, 1, bk), lambda bi, hi, qi, ki: (bi, 0, ki),
+                            memory_space=pltpu.VMEM)
+
+    out = pl.pallas_call(
+        functools.partial(_stream_inline_kernel, scale=scale, lk_real=lk,
+                          block_k=bk),
+        grid=grid,
+        in_specs=[qmeta_spec()] * 4 + [kmeta_spec()] * 3 + [
+            pl.BlockSpec((1, 1, bq, dp),
+                         lambda bi, hi, qi, ki: (bi, hi, qi, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, bk, dp),
+                         lambda bi, hi, qi, ki: (bi, hi // group, ki, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, bk, dp),
+                         lambda bi, hi, qi, ki: (bi, hi // group, ki, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, 1, bq, dp),
+                               lambda bi, hi, qi, ki: (bi, hi, qi, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((b, h, lqp, dp), q.dtype),
+        scratch_shapes=[
+            pltpu.VMEM((bq, 128), jnp.float32),
+            pltpu.VMEM((bq, 128), jnp.float32),
+            pltpu.VMEM((bq, dp), jnp.float32),
+        ],
+        interpret=INTERPRET,
+    )(*meta_in, qt, kt, vt)
+    return out[:, :, :lq, :d].transpose(0, 2, 1, 3)
+
+
 def flash_mha_streaming(q, k, v, bias):
     """Length-unbounded streaming attention with a precomputed bias.
     Large q-blocks keep K/V re-reads low (traffic scales with the q-block
