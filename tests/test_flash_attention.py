@@ -184,3 +184,35 @@ def test_streaming_matches_reference_and_grads():
                                    atol=5e-5, rtol=5e-5)
     finally:
         fa.INTERPRET = False
+
+
+def test_streaming_inline_matches_reference():
+    """Metadata-inline streaming (no bias tensor) == dense reference on both
+    inference and training layouts."""
+    from video_gpt_tpu.ops import flash_attention as fa
+    fa.INTERPRET = True
+    try:
+        n = tokens_per_frame(32, 48)
+        layout = frame_block_inference_layout(3, 2, n, use_cfg=True)
+        meta = AttnMeta.from_layout(layout)
+        tail = layout.noisy_tail_len()
+        q_meta = meta.tail(tail)
+        b, l = layout.batch, layout.length
+        q, k, v = _rand_qkv(jax.random.PRNGKey(9), b, tail, l, 4, 2, 96)
+        ref = mha_reference(q, k, v, attention_bias(q_meta, meta))
+        out = fa.flash_mha_streaming_inline(q, k, v, q_meta, meta,
+                                            block_q=16, block_k=128)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                                   atol=2e-5, rtol=2e-5)
+
+        lay2 = build_layout([RowSpec((1, 2, 1), "training")], n)
+        m2 = AttnMeta.from_layout(lay2)
+        q2, k2, v2 = _rand_qkv(jax.random.PRNGKey(10), 1, lay2.length,
+                               lay2.length, 4, 4, 64)
+        ref2 = mha_reference(q2, k2, v2, attention_bias(m2, m2))
+        out2 = fa.flash_mha_streaming_inline(q2, k2, v2, m2, m2,
+                                             block_q=16, block_k=128)
+        np.testing.assert_allclose(np.asarray(out2), np.asarray(ref2),
+                                   atol=2e-5, rtol=2e-5)
+    finally:
+        fa.INTERPRET = False

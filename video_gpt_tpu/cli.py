@@ -257,6 +257,47 @@ def cmd_generate_image(args):
     print(f"saved {args.output}")
 
 
+def cmd_export(args):
+    """Export an orbax training checkpoint to the reference's safetensors
+    layout (loadable by LVM.from_pretrained, LVM/model.py:196-211)."""
+    import jax
+    import jax.numpy as jnp
+
+    from .config import ModelConfig
+    from .layout import RowSpec, build_layout
+    from .models.video_gpt import Batch, VideoGPT
+    from .training.train_state import TrainState, init_train_state
+    from .config import TrainConfig
+    from .utils import checkpoint as ckpt
+    from .utils.torch_export import save_safetensors
+
+    cfg = _model_cfg(args)
+    model = VideoGPT(cfg, dtype=jnp.float32, train_init=True)
+    lay = build_layout([RowSpec((1, 1), "training")], 4)
+    z = jnp.zeros((2, 4, 4, cfg.in_channels))
+    cl = jnp.zeros((1, 4, 4, cfg.in_channels))
+    params = model.init(jax.random.PRNGKey(0), Batch.from_layout(lay), z,
+                        jnp.zeros((2,)), cl)
+    state_like = init_train_state(
+        model, params, TrainConfig(use_ema=args.ema))
+    try:
+        state, step = ckpt.restore_checkpoint(args.checkpoint_dir,
+                                              state_like, step=args.step)
+    except FileNotFoundError:
+        raise
+    except Exception as e:
+        hint = ("the checkpoint's structure does not match (--ema given but "
+                "the run trained without EMA? wrong --step or model size?)")
+        raise SystemExit(f"restore failed: {hint}\n  orbax: "
+                         f"{type(e).__name__}: {str(e)[:200]}")
+    tree = state.ema_params if args.ema else state.params
+    if tree is None:
+        raise SystemExit("checkpoint has no EMA params; drop --ema")
+    save_safetensors(tree, cfg, args.output)
+    print(f"exported step {step}{' (EMA)' if args.ema else ''} "
+          f"to {args.output}")
+
+
 def build_parser() -> argparse.ArgumentParser:
     p = argparse.ArgumentParser("video_gpt_tpu")
     sub = p.add_subparsers(dest="command", required=True)
@@ -331,6 +372,17 @@ def build_parser() -> argparse.ArgumentParser:
     gi.add_argument("--tiny_model", action="store_true")
     gi.add_argument("--seed", type=int, default=None)
     gi.set_defaults(func=cmd_generate_image)
+
+    e = sub.add_parser("export", help="orbax checkpoint -> reference-format "
+                                      "safetensors")
+    e.add_argument("--checkpoint_dir", type=str, required=True)
+    e.add_argument("--output", type=str, default="model.safetensors")
+    e.add_argument("--step", type=int, default=None,
+                   help="checkpoint step (default: latest)")
+    e.add_argument("--ema", action="store_true",
+                   help="export the EMA weights")
+    e.add_argument("--tiny_model", action="store_true")
+    e.set_defaults(func=cmd_export)
     return p
 
 
