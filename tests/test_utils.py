@@ -43,3 +43,29 @@ def test_phase_timer():
     with t.phase("a"):
         pass
     assert t.counts["a"] == 2 and "a:" in t.summary()
+
+
+def test_checkpoint_export_roundtrip(tmp_path):
+    """orbax checkpoint -> reference safetensors -> importer round trip."""
+    from video_gpt_tpu.config import TrainConfig
+    from video_gpt_tpu.layout import RowSpec, build_layout
+    from video_gpt_tpu.training.train_state import init_train_state
+    from video_gpt_tpu.utils import checkpoint as ckpt
+    from video_gpt_tpu.utils.torch_export import save_safetensors
+
+    cfg = ModelConfig.tiny(attn_impl="reference")
+    model = VideoGPT(cfg, dtype=jnp.float32)
+    layout = build_layout([RowSpec((1, 1), "training")], 4)
+    params = model.init(jax.random.PRNGKey(5), Batch.from_layout(layout),
+                        jnp.zeros((2, 4, 4, 4)), jnp.zeros((2,)),
+                        jnp.zeros((1, 4, 4, 4)))
+    state = init_train_state(model, params, TrainConfig())
+    ckpt.save_checkpoint(str(tmp_path / "ckpts"), 7, state)
+    restored, step = ckpt.restore_checkpoint(str(tmp_path / "ckpts"), state)
+    assert step == 7
+    out = tmp_path / "model.safetensors"
+    save_safetensors(restored.params, cfg, str(out))
+    from safetensors.numpy import load_file
+    sd = load_file(str(out))
+    back = {"params": videogpt_params_from_torch(sd, cfg)}
+    assert max_tree_diff(params, back) == 0.0

@@ -14,7 +14,9 @@ from ..config import ModelConfig
 
 
 def _np(x) -> np.ndarray:
-    return np.asarray(x, dtype=np.float32)
+    # contiguous is load-bearing: safetensors serialises the raw buffer, and
+    # transpose VIEWS get written in buffer order (silently wrong data)
+    return np.ascontiguousarray(np.asarray(x, dtype=np.float32))
 
 
 def videogpt_params_to_torch(params: Mapping, cfg: ModelConfig
@@ -23,15 +25,15 @@ def videogpt_params_to_torch(params: Mapping, cfg: ModelConfig
     sd: Dict[str, np.ndarray] = {}
 
     def dense(dst, node):
-        sd[dst + ".weight"] = _np(node["kernel"]).T
+        sd[dst + ".weight"] = _np(np.asarray(node["kernel"]).T)
         if "bias" in node:
             sd[dst + ".bias"] = _np(node["bias"])
 
     def conv_from_dense(dst, node, patch, in_ch):
         k = _np(node["kernel"])  # [(p, p, C), D]
         d = k.shape[-1]
-        sd[dst + ".weight"] = k.reshape(patch, patch, in_ch, d
-                                        ).transpose(3, 2, 0, 1)
+        sd[dst + ".weight"] = np.ascontiguousarray(
+            k.reshape(patch, patch, in_ch, d).transpose(3, 2, 0, 1))
         sd[dst + ".bias"] = _np(node["bias"])
 
     conv_from_dense("x_embedder.proj", p["x_embedder"]["proj"],
@@ -53,13 +55,13 @@ def videogpt_params_to_torch(params: Mapping, cfg: ModelConfig
     for i in range(cfg.num_layers):
         base = f"llm.layers.{i}."
         sd[base + "self_attn.qkv_proj.weight"] = _np(
-            layers["self_attn"]["qkv_proj"]["kernel"][i]).T
+            np.asarray(layers["self_attn"]["qkv_proj"]["kernel"][i]).T)
         sd[base + "self_attn.o_proj.weight"] = _np(
-            layers["self_attn"]["o_proj"]["kernel"][i]).T
+            np.asarray(layers["self_attn"]["o_proj"]["kernel"][i]).T)
         sd[base + "mlp.gate_up_proj.weight"] = _np(
-            layers["mlp"]["gate_up_proj"]["kernel"][i]).T
+            np.asarray(layers["mlp"]["gate_up_proj"]["kernel"][i]).T)
         sd[base + "mlp.down_proj.weight"] = _np(
-            layers["mlp"]["down_proj"]["kernel"][i]).T
+            np.asarray(layers["mlp"]["down_proj"]["kernel"][i]).T)
         sd[base + "input_layernorm.weight"] = _np(
             layers["input_layernorm"]["weight"][i])
         sd[base + "post_attention_layernorm.weight"] = _np(
