@@ -1,0 +1,62 @@
+"""Mesh-wired Trainer: data x seq mesh, ZeRO opt-state sharding, Ulysses SP.
+
+The reference's equivalent wiring is Accelerate+DeepSpeed ZeRO-2 plus the
+Ulysses replace_attention patch (train_x1_stage1:114-127,294-296,
+train stage2 diff). Here the whole thing is one Trainer flag.
+"""
+import jax
+import numpy as np
+import pytest
+
+from video_gpt_tpu.config import MeshConfig, ModelConfig, TrainConfig
+from video_gpt_tpu.models.vae import VAEConfig
+from video_gpt_tpu.parallel.mesh import DATA_AXIS
+from video_gpt_tpu.training.trainer import Trainer
+
+
+@pytest.mark.parametrize("data,seq", [(2, 4)])
+def test_trainer_mesh_steps_with_zero_sharding(tmp_path, data, seq):
+    if len(jax.devices()) < data * seq:
+        pytest.skip("needs 8 CPU devices")
+    cfg = TrainConfig(frame_num=4, frame_block_scheme="frame_block",
+                      mixed_precision="no", lr=1e-3, lr_scheduler="constant",
+                      log_every=1, ckpt_every=1000, use_ema=True,
+                      results_dir=str(tmp_path))
+    t = Trainer(ModelConfig.tiny(attn_impl="reference",
+                                 pos_embed_max_size=192),
+                cfg, "/root/reference/vids", vae_cfg=VAEConfig.tiny(),
+                target_resolution=(48, 64),
+                mesh_cfg=MeshConfig(data=data, seq=seq))
+    # mesh flags flip the model to the Ulysses SP path
+    assert t.model_cfg.sp_attention == "ulysses"
+    assert t.model_cfg.seq_shard
+
+    state = t.run(2)
+    assert int(state.step) == 2
+
+    # ZeRO: at least one optimizer-state leaf is actually sharded over data
+    sharded = []
+    for leaf in jax.tree.leaves(state.opt_state):
+        if hasattr(leaf, "sharding") and hasattr(leaf.sharding, "spec"):
+            sharded.append(DATA_AXIS in jax.tree.leaves(
+                tuple(leaf.sharding.spec)))
+    assert any(sharded), "no optimizer-state leaf sharded over 'data'"
+
+    # loss finite end-to-end through the sharded step
+    assert np.isfinite(float(
+        jax.tree.leaves(state.params)[0].sum()))
+
+
+def test_trainer_cli_mesh_smoke(tmp_path):
+    """`cli train --mesh_data 2 --mesh_seq 4` takes steps on the CPU mesh."""
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 CPU devices")
+    from video_gpt_tpu.cli import build_parser
+    args = build_parser().parse_args([
+        "train", "--video_dir_path", "/root/reference/vids",
+        "--results_dir", str(tmp_path), "--max_steps", "1",
+        "--frame_num", "4", "--mesh_data", "2", "--mesh_seq", "4",
+        "--mixed_precision", "no", "--tiny_model", "--log_every", "1",
+        "--ckpt_every", "1000", "--target_resolution", "48", "64",
+        "--report_to", "none"])
+    args.func(args)

@@ -65,10 +65,15 @@ def cmd_train(args):
                                                 "tensorboard_log"))
         except Exception:
             pass
+    mesh_cfg = None
+    if args.mesh_data * args.mesh_seq > 1:
+        from .config import MeshConfig
+        mesh_cfg = MeshConfig(data=args.mesh_data, seq=args.mesh_seq)
     trainer = Trainer(
         _model_cfg(args), cfg, args.video_dir_path,
         vae_cfg=vae_cfg, vae_params=vae_params, init_params=init_params,
-        target_resolution=tuple(args.target_resolution), seed=args.seed)
+        target_resolution=tuple(args.target_resolution),
+        mesh_cfg=mesh_cfg, seed=args.seed)
     trainer.run(args.max_steps, log_writer=writer)
 
 
@@ -326,6 +331,12 @@ def build_parser() -> argparse.ArgumentParser:
     t.add_argument("--target_resolution", type=int, nargs=2,
                    default=[176, 320])
     t.add_argument("--report_to", default="tensorboard")
+    t.add_argument("--mesh_data", type=int, default=1,
+                   help="data-parallel mesh axis (batch rows + ZeRO "
+                        "optimizer-state sharding)")
+    t.add_argument("--mesh_seq", type=int, default=1,
+                   help="sequence-parallel mesh axis (Ulysses shard_map "
+                        "attention)")
     t.add_argument("--tiny_model", action="store_true",
                    help="tiny config for smoke tests")
     t.add_argument("--seed", type=int, default=0)

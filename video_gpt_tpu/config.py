@@ -39,6 +39,9 @@ class ModelConfig:
     remat: bool = False      # jax.checkpoint each decoder layer
     seq_shard: bool = False  # constrain activations to P(data, seq, None)
                              # under a mesh (sequence parallelism)
+    sp_attention: str = "none"  # 'none' (GSPMD decides) | 'ulysses'
+                                # (explicit shard_map all-to-all attention
+                                # over the mesh's seq axis; no-op off-mesh)
     scan_unroll: int = 1     # unroll factor for the layer scan (compile time
                              # vs scheduling freedom)
     # precompute the attention bias once per clip (shared by all layers and

@@ -92,7 +92,13 @@ class Phi3Attention(nn.Module):
             # denoise steps within a block)
             k = jnp.concatenate([cache[0].astype(k.dtype), k], axis=1)
             v = jnp.concatenate([cache[1].astype(v.dtype), v], axis=1)
-        out = attend(q, k, v, q_meta, k_meta, impl=cfg.attn_impl, bias=bias)
+        if cfg.sp_attention == "ulysses":
+            from ..parallel.ulysses import ulysses_attend
+            out = ulysses_attend(q, k, v, q_meta, k_meta,
+                                 impl=cfg.attn_impl, bias=bias)
+        else:
+            out = attend(q, k, v, q_meta, k_meta, impl=cfg.attn_impl,
+                         bias=bias)
         out = out.reshape(b, l, h * d)
         out = nn.Dense(cfg.hidden_size, use_bias=False, dtype=self.dtype,
                        name="o_proj")(out)

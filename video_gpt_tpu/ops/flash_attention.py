@@ -264,28 +264,37 @@ def _flash_bwd(q, k, v, bias, o, do, scale, block_q=None):
     return dq, dk, dv
 
 
+@jax.custom_vjp
+def _inline_vjp(q, k, v, *meta):
+    qm, km = AttnMeta(*meta[:7]), AttnMeta(*meta[7:])
+    return flash_mha(q, k, v, qm, km)
+
+
+def _inline_vjp_fwd(q, k, v, *meta):
+    qm, km = AttnMeta(*meta[:7]), AttnMeta(*meta[7:])
+    o = flash_mha(q, k, v, qm, km)
+    return o, (q, k, v, o, meta)
+
+
+def _inline_vjp_bwd(res, do):
+    q, k, v, o, meta = res
+    qm, km = AttnMeta(*meta[:7]), AttnMeta(*meta[7:])
+    bias = precompute_bias(qm, km)
+    dq, dk, dv = _flash_bwd(q, k, v, bias, o, do, q.shape[-1] ** -0.5)
+    return (dq, dk, dv) + (None,) * len(meta)
+
+
+_inline_vjp.defvjp(_inline_vjp_fwd, _inline_vjp_bwd)
+
+
 def flash_mha_inline(q, k, v, q_meta: AttnMeta, k_meta: AttnMeta):
     """Differentiable inline-mode flash attention: Pallas forward with the
     in-kernel mask; the backward derives the bias (bounded by the 8k-key
     kernel cap, so at most ~130MB bf16) and runs the Pallas backward kernel.
-    The metadata is closed over so the custom_vjp only differentiates
-    q/k/v."""
-
-    @jax.custom_vjp
-    def f(q, k, v):
-        return flash_mha(q, k, v, q_meta, k_meta)
-
-    def fwd(q, k, v):
-        o = flash_mha(q, k, v, q_meta, k_meta)
-        return o, (q, k, v, o)
-
-    def bwd(res, do):
-        q, k, v, o = res
-        bias = precompute_bias(q_meta, k_meta)
-        return _flash_bwd(q, k, v, bias, o, do, q.shape[-1] ** -0.5)
-
-    f.defvjp(fwd, bwd)
-    return f(q, k, v)
+    The metadata rides as explicit zero-cotangent custom_vjp operands —
+    closing over it would leak per-shard tracers when this runs inside
+    shard_map under nn.scan (Ulysses SP training)."""
+    return _inline_vjp(q, k, v, *tuple(q_meta), *tuple(k_meta))
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(4,))
@@ -542,43 +551,42 @@ def flash_mha_streaming_inline(q, k, v, q_meta: AttnMeta, k_meta: AttnMeta,
     return out[:, :, :lq, :d].transpose(0, 2, 1, 3)
 
 
+@jax.custom_vjp
 def flash_mha_streaming(q, k, v, bias):
     """Length-unbounded streaming attention with a precomputed bias.
     Large q-blocks keep K/V re-reads low (traffic scales with the q-block
     count). Differentiable: the backward recomputes through the memory-bounded
     chunked jnp path (the resident Pallas backward caps at 8k keys)."""
+    return _flash_streaming_fwd(q, k, v, bias)
+
+
+def _streaming_vjp_fwd(q, k, v, bias):
+    return _flash_streaming_fwd(q, k, v, bias), (q, k, v, bias)
+
+
+def _streaming_vjp_bwd(res, do):
     from .attention import mha_chunked
 
-    def impl(q, k, v):
-        return _flash_streaming_fwd(q, k, v, bias)
+    q, k, v, bias = res
+    lq, lk = q.shape[1], k.shape[1]
+    dense_bias = bias[None, :, :lq, :lk].swapaxes(0, 1)  # [B,1,Lq,Lk]
+    _, pullback = jax.vjp(
+        lambda q, k, v: mha_chunked(q, k, v, dense_bias), q, k, v)
+    return pullback(do) + (None,)
 
-    @jax.custom_vjp
-    def f(q, k, v):
-        return impl(q, k, v)
 
-    def fwd(q, k, v):
-        return impl(q, k, v), (q, k, v)
-
-    def bwd(res, do):
-        q, k, v = res
-        lq, lk = q.shape[1], k.shape[1]
-        dense_bias = bias[None, :, :lq, :lk].swapaxes(0, 1)  # [B,1,Lq,Lk]
-        _, pullback = jax.vjp(
-            lambda q, k, v: mha_chunked(q, k, v, dense_bias), q, k, v)
-        return pullback(do)
-
-    f.defvjp(fwd, bwd)
-    return f(q, k, v)
+flash_mha_streaming.defvjp(_streaming_vjp_fwd, _streaming_vjp_bwd)
 
 
 def flash_attention_supported(q, k, v) -> bool:
-    try:
-        platform = q.devices().pop().platform if hasattr(q, "devices") \
-            else jax.default_backend()
-    except Exception:
-        platform = jax.default_backend()
-    if platform != "tpu":
-        return False
+    if not INTERPRET:  # interpret mode runs anywhere (CPU tests / dryrun)
+        try:
+            platform = q.devices().pop().platform if hasattr(q, "devices") \
+                else jax.default_backend()
+        except Exception:
+            platform = jax.default_backend()
+        if platform != "tpu":
+            return False
     b, lq, h, d = q.shape
     hkv = k.shape[2]
     # full key rows live in VMEM: beyond ~8k keys the kernels cannot fit

@@ -1,0 +1,96 @@
+"""Ulysses sequence-parallel attention as a ``jax.shard_map``.
+
+TPU-native replacement for the reference's monkey-patched DeepSpeed-Ulysses
+attention (LVM/transform/sdpa_transform.py:126-159, fa_transform.py:134-175,
+installed by ``replace_attention`` over every Phi3 attention module): the
+sequence axis stays sharded through the whole network, and two
+``jax.lax.all_to_all`` collectives swap shard axis seq<->heads around the
+local attention call, so every head attends over the FULL sequence. XLA
+schedules the collectives over ICI; the transpose rule of ``all_to_all``
+makes the whole thing differentiable (the reference needs a hand-written
+autograd.Function, sdpa_transform.py:104-124).
+
+Layout contract (enforced, not silently fixed):
+- q/k/v are [B, L, H, D] with L a multiple of the mesh's ``seq`` size and
+  B a multiple of ``data`` (the collator pads to ``sp_multiple``, mirroring
+  the reference's pad-to-SP rule, LVM/processor.py:783-809);
+- H and H_kv are multiples of ``seq`` (Phi-3: 32/32);
+- attention metadata is full-length per shard (O(L) int32 — cheap), so the
+  local kernel sees global positions and the frame-block visibility rule
+  needs no re-indexing.
+"""
+from __future__ import annotations
+
+import functools
+from typing import Callable, Optional
+
+import jax
+from jax.sharding import PartitionSpec as P
+
+from .mesh import DATA_AXIS, SEQ_AXIS
+
+
+def active_seq_degree() -> int:
+    """Size of the ambient mesh's ``seq`` axis (1 when no mesh is set)."""
+    mesh = jax.sharding.get_abstract_mesh()
+    try:
+        return int(mesh.shape.get(SEQ_AXIS, 1))
+    except Exception:
+        return 1
+
+
+def ulysses_attend(q, k, v, q_meta, k_meta, impl: str = "auto",
+                   bias=None, local_fn: Optional[Callable] = None):
+    """Sequence-parallel attention over the ambient mesh.
+
+    ``local_fn(q, k, v, q_meta, k_meta, bias)`` is the per-device attention
+    (defaults to :func:`ops.attention.attend` with ``impl``); it runs on
+    head-sharded, full-sequence operands. Falls back to the plain local call
+    when no mesh (or seq=1) is active, so one model covers both worlds.
+    """
+    if local_fn is None:
+        from ..ops.attention import attend
+
+        def local_fn(q, k, v, qm, km, b):
+            return attend(q, k, v, qm, km, impl=impl, bias=b)
+
+    sp = active_seq_degree()
+    if sp == 1:
+        return local_fn(q, k, v, q_meta, k_meta, bias)
+
+    mesh = jax.sharding.get_abstract_mesh()
+    b, lq, h, _ = q.shape
+    lk, hkv = k.shape[1], k.shape[2]
+    dp = int(mesh.shape.get(DATA_AXIS, 1))
+    if lq % sp or lk % sp:
+        raise ValueError(
+            f"Ulysses SP={sp} needs sequence lengths divisible by the seq "
+            f"axis (got Lq={lq}, Lk={lk}); pad the layout "
+            "(collate(..., sp_multiple=seq))")
+    if h % sp or hkv % sp:
+        raise ValueError(f"heads ({h}/{hkv}) not divisible by seq axis {sp}")
+    if b % dp:
+        raise ValueError(f"batch {b} not divisible by data axis {dp}")
+
+    a2a = functools.partial(jax.lax.all_to_all, axis_name=SEQ_AXIS,
+                            tiled=True)
+
+    def inner(q, k, v, q_meta, k_meta, bias):
+        # seq-sharded [b, l/sp, h, d] -> head-sharded [b, l, h/sp, d]
+        q = a2a(q, split_axis=2, concat_axis=1)
+        k = a2a(k, split_axis=2, concat_axis=1)
+        v = a2a(v, split_axis=2, concat_axis=1)
+        out = local_fn(q, k, v, q_meta, k_meta, bias)
+        return a2a(out, split_axis=1, concat_axis=2)
+
+    qkv_spec = P(DATA_AXIS, SEQ_AXIS, None, None)
+    meta_spec = lambda tree: jax.tree.map(lambda _: P(DATA_AXIS, None), tree)
+    bias_spec = jax.tree.map(
+        lambda x: P(DATA_AXIS, *([None] * (x.ndim - 1))), bias)
+    return jax.shard_map(
+        inner, mesh=mesh,
+        in_specs=(qkv_spec, qkv_spec, qkv_spec,
+                  meta_spec(q_meta), meta_spec(k_meta), bias_spec),
+        out_specs=qkv_spec,
+        check_vma=False,
+    )(q, k, v, q_meta, k_meta, bias)

@@ -50,7 +50,21 @@ class Trainer:
         self.cfg = train_cfg
         dtype = jnp.bfloat16 if train_cfg.mixed_precision == "bf16" \
             else jnp.float32
+        # mesh: data (batch rows + ZeRO opt-state) x seq (Ulysses attention)
+        # — the TPU equivalent of the reference's Accelerate/DeepSpeed + SP
+        # wiring (train_x1_stage1:114-127, parallel_states.py:27-53)
+        self.mesh = None
+        self._sp = 1
+        self._dp = 1
+        if mesh_cfg is not None and mesh_cfg.num_devices > 1:
+            from ..parallel.mesh import make_mesh
+            self.mesh = make_mesh(mesh_cfg)
+            self._sp = mesh_cfg.seq
+            self._dp = mesh_cfg.data
         overrides = {}
+        if self._sp > 1:
+            overrides["seq_shard"] = True
+            overrides["sp_attention"] = "ulysses"
         if train_cfg.gradient_checkpointing and not model_cfg.remat:
             overrides["remat"] = True
         est_l = 2 * train_cfg.frame_num * (
@@ -84,6 +98,10 @@ class Trainer:
             target_resolution=target_resolution,
             scheme=train_cfg.frame_block_scheme,
             seed=seed,
+            # per-host dataset sharding (reference: data.py:162-168 shards by
+            # accelerator.process_index); a single-host mesh shares the list
+            shard_index=jax.process_index(),
+            shard_count=jax.process_count(),
         )
         self.target_resolution = target_resolution
         self.rng = jax.random.PRNGKey(seed)
@@ -93,10 +111,51 @@ class Trainer:
 
     # ---- setup -------------------------------------------------------------
 
+    @property
+    def _batch_rows(self) -> int:
+        """Global batch rows = per-device rows x data-axis size."""
+        return self.cfg.batch_size_per_device * self._dp
+
     def _example_batch(self) -> TrainBatch:
         sample = self.dataset.sample(0)
         n_img = tokens_per_frame(*self.target_resolution)
-        return collate([sample] * self.cfg.batch_size_per_device, n_img)
+        return collate([sample] * self._batch_rows, n_img,
+                       sp_multiple=self._sp)
+
+    def _place_state(self, state: TrainState) -> TrainState:
+        """Params replicated; optimizer state ZeRO-sharded over 'data'."""
+        if self.mesh is None:
+            return state
+        from ..parallel.mesh import replicated, zero_sharding
+        repl = replicated(self.mesh)
+        state = jax.device_put(state, jax.tree.map(
+            lambda _: repl, state, is_leaf=lambda x: hasattr(x, "shape")))
+        return state._replace(opt_state=jax.device_put(
+            state.opt_state, zero_sharding(state.opt_state, self.mesh)))
+
+    def _shard_batch(self, tb: TrainBatch) -> TrainBatch:
+        """[B, L] token arrays over (data, seq); pixel rows over data."""
+        if self.mesh is None:
+            return tb
+        from jax.sharding import NamedSharding, PartitionSpec as P
+        from ..parallel.mesh import DATA_AXIS, SEQ_AXIS
+        tok = NamedSharding(self.mesh, P(DATA_AXIS, SEQ_AXIS))
+        row = NamedSharding(self.mesh, P(DATA_AXIS))
+        repl = NamedSharding(self.mesh, P())
+        b = self._batch_rows
+        l = tb.inputs.batch.input_ids.shape[1]
+
+        def put(x):
+            if not hasattr(x, "ndim"):
+                return x
+            if x.ndim == 2 and x.shape[:2] == (b, l):
+                return jax.device_put(x, tok)
+            return jax.device_put(x, repl)
+
+        inputs = jax.tree.map(put, tb.inputs)
+        pixels = jax.device_put(
+            tb.pixels, row if tb.pixels.shape[0] % self._dp == 0 else repl)
+        return tb._replace(inputs=inputs, pixels=pixels)
 
     def _build(self, tb: TrainBatch):
         h, w = self.target_resolution
@@ -146,7 +205,7 @@ class Trainer:
             return inner(state, r_loss, inputs)
 
         self._jit_step = jax.jit(full_step, donate_argnums=(0,))
-        return state
+        return self._place_state(state)
 
     # ---- loop --------------------------------------------------------------
 
@@ -160,20 +219,31 @@ class Trainer:
                       indent=2, default=str)
         ckpt_dir = os.path.join(cfg.results_dir, "checkpoints")
 
+        import contextlib
+        with contextlib.ExitStack() as stack:
+            if self.mesh is not None:
+                stack.enter_context(jax.sharding.set_mesh(self.mesh))
+            return self._run_inner(max_steps, log_writer, ckpt_dir)
+
+    def _run_inner(self, max_steps: int, log_writer, ckpt_dir: str):
+        cfg = self.cfg
         tb = self._example_batch()
         state = self._build(tb)
         start_step = 0
         if cfg.auto_resume and ckpt.latest_step(ckpt_dir) is not None:
             state, start_step = ckpt.restore_checkpoint(ckpt_dir, state)
+            state = self._place_state(state)
             print(f"resumed from step {start_step}")
 
         n_img = tokens_per_frame(*self.target_resolution)
 
         def make_batch(idx: int):
+            rows = self._batch_rows
             samples = [self.dataset.sample(
-                (idx * cfg.batch_size_per_device + i) % len(self.dataset))
-                for i in range(cfg.batch_size_per_device)]
-            return collate(samples, n_img, cls_weight=cfg.cls_weight)
+                (idx * rows + i) % len(self.dataset))
+                for i in range(rows)]
+            return collate(samples, n_img, sp_multiple=self._sp,
+                           cls_weight=cfg.cls_weight)
 
         from ..data.prefetch import Prefetcher
         from ..parallel.distributed import GracefulShutdown
@@ -199,7 +269,7 @@ class Trainer:
                 print(f"shutdown requested: saved checkpoint-{step_idx}",
                       flush=True)
                 break
-            tb = prefetcher.get()
+            tb = self._shard_batch(prefetcher.get())
             # per-step key derived from the global step: resumed runs
             # continue the noise stream instead of replaying it
             r = jax.random.fold_in(self.rng, step_idx)
