@@ -200,8 +200,8 @@ def test_streaming_inline_matches_reference():
         b, l = layout.batch, layout.length
         q, k, v = _rand_qkv(jax.random.PRNGKey(9), b, tail, l, 4, 2, 96)
         ref = mha_reference(q, k, v, attention_bias(q_meta, meta))
-        out = fa.flash_mha_streaming_inline(q, k, v, q_meta, meta,
-                                            block_q=16, block_k=128)
+        out, _lse = fa._stream_inline_fwd(q, k, v, q_meta, meta,
+                                          block_q=16, block_k=128)
         np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
                                    atol=2e-5, rtol=2e-5)
 
@@ -210,9 +210,78 @@ def test_streaming_inline_matches_reference():
         q2, k2, v2 = _rand_qkv(jax.random.PRNGKey(10), 1, lay2.length,
                                lay2.length, 4, 4, 64)
         ref2 = mha_reference(q2, k2, v2, attention_bias(m2, m2))
-        out2 = fa.flash_mha_streaming_inline(q2, k2, v2, m2, m2,
-                                             block_q=16, block_k=128)
+        out2, _ = fa._stream_inline_fwd(q2, k2, v2, m2, m2,
+                                        block_q=16, block_k=128)
         np.testing.assert_allclose(np.asarray(out2), np.asarray(ref2),
                                    atol=2e-5, rtol=2e-5)
     finally:
         fa.INTERPRET = False
+
+
+def test_streaming_backward_kernels_match_dense_grads():
+    """Streaming Pallas backward (dq + dk/dv kernels, metadata-inline mask,
+    multi-tile accumulation) == dense-attention gradients."""
+    import video_gpt_tpu.ops.flash_attention as fa
+
+    n = tokens_per_frame(32, 48)
+    layout = build_layout([RowSpec((2, 2), "training"),
+                           RowSpec((1, 1, 2), "training")], n)
+    meta = AttnMeta.from_layout(layout)
+    b, l = layout.batch, layout.length
+    q, k, v = _rand_qkv(jax.random.PRNGKey(5), b, l, l, 2, 2, 32)
+    do = jax.random.normal(jax.random.PRNGKey(6), q.shape, jnp.float32)
+
+    dense_bias = attention_bias(meta, meta)
+    want_o, pullback = jax.vjp(
+        lambda q, k, v: mha_reference(q, k, v, dense_bias), q, k, v)
+    want_dq, want_dk, want_dv = pullback(do)
+
+    fa.INTERPRET = True
+    try:
+        # small blocks force multi-tile accumulation in all three kernels
+        o, lse = fa._stream_inline_fwd(q, k, v, meta, meta,
+                                       block_q=16, block_k=128)
+        np.testing.assert_allclose(np.asarray(o), np.asarray(want_o),
+                                   atol=2e-5, rtol=2e-5)
+        dq, dk, dv = fa._stream_inline_bwd_impl(
+            q, k, v, o, lse, do, meta, meta, block_q=16, block_k=128)
+    finally:
+        fa.INTERPRET = False
+    np.testing.assert_allclose(np.asarray(dq), np.asarray(want_dq),
+                               atol=1e-4, rtol=1e-4)
+    np.testing.assert_allclose(np.asarray(dk), np.asarray(want_dk),
+                               atol=1e-4, rtol=1e-4)
+    np.testing.assert_allclose(np.asarray(dv), np.asarray(want_dv),
+                               atol=1e-4, rtol=1e-4)
+
+
+def test_streaming_inline_public_vjp_matches_dense():
+    """jax.grad through flash_mha_streaming_inline (the stage-2/3/4 training
+    path) == dense gradients, via the custom VJP."""
+    import video_gpt_tpu.ops.flash_attention as fa
+
+    n = tokens_per_frame(32, 32)
+    layout = build_layout([RowSpec((1, 2), "training")], n)
+    meta = AttnMeta.from_layout(layout)
+    b, l = layout.batch, layout.length
+    q, k, v = _rand_qkv(jax.random.PRNGKey(7), b, l, l, 2, 2, 32)
+    w = jax.random.normal(jax.random.PRNGKey(8), q.shape, jnp.float32)
+
+    dense_bias = attention_bias(meta, meta)
+
+    def loss_dense(q, k, v):
+        return jnp.sum(mha_reference(q, k, v, dense_bias) * w)
+
+    def loss_stream(q, k, v):
+        return jnp.sum(fa.flash_mha_streaming_inline(q, k, v, meta, meta)
+                       * w)
+
+    want = jax.grad(loss_dense, argnums=(0, 1, 2))(q, k, v)
+    fa.INTERPRET = True
+    try:
+        got = jax.grad(loss_stream, argnums=(0, 1, 2))(q, k, v)
+    finally:
+        fa.INTERPRET = False
+    for g, wnt in zip(got, want):
+        np.testing.assert_allclose(np.asarray(g), np.asarray(wnt),
+                                   atol=1e-4, rtol=1e-4)

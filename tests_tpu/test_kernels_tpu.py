@@ -1,0 +1,93 @@
+"""Pallas kernels compiled on the real chip vs jnp oracles (bf16 tolerance).
+
+CPU interpret-mode tests (tests/test_flash_attention.py) check the math;
+these check what interpret mode cannot: mosaic lowering, VMEM fit at
+production block sizes, and bf16 accumulation error staying in budget.
+"""
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from video_gpt_tpu.layout import RowSpec, build_layout, tokens_per_frame
+from video_gpt_tpu.ops import flash_attention as fa
+from video_gpt_tpu.ops.attention import (AttnMeta, attention_bias,
+                                         mha_chunked, mha_reference)
+
+N = tokens_per_frame(176, 320)  # 220 — the reference inference geometry
+
+
+def _qkv(layout, h=8, d=96, seed=0, dtype=jnp.bfloat16):
+    meta = AttnMeta.from_layout(layout)
+    l = layout.length
+    rng = jax.random.PRNGKey(seed)
+    ks = jax.random.split(rng, 4)
+    q = jax.random.normal(ks[0], (layout.batch, l, h, d), dtype)
+    k = jax.random.normal(ks[1], (layout.batch, l, h, d), dtype)
+    v = jax.random.normal(ks[2], (layout.batch, l, h, d), dtype)
+    do = jax.random.normal(ks[3], q.shape, dtype)
+    return meta, q, k, v, do
+
+
+def test_resident_bias_mode_fwd_bwd_on_chip():
+    layout = build_layout([RowSpec((2, 2, 2), "training")], N)  # ~2.7k
+    meta, q, k, v, do = _qkv(layout)
+    bias = fa.precompute_bias(meta, meta)
+
+    def f_flash(q, k, v):
+        return jnp.sum((fa.flash_mha_biased(q, k, v, bias) * do)
+                       .astype(jnp.float32))
+
+    dense_bias = attention_bias(meta, meta)
+
+    def f_dense(q, k, v):
+        return jnp.sum((mha_reference(q, k, v, dense_bias) * do)
+                       .astype(jnp.float32))
+
+    got = jax.jit(jax.grad(f_flash, argnums=(0, 1, 2)))(q, k, v)
+    want = jax.jit(jax.grad(f_dense, argnums=(0, 1, 2)))(q, k, v)
+    for g, w in zip(got, want):
+        err = np.abs(np.asarray(g, np.float32) - np.asarray(w, np.float32))
+        scale = np.abs(np.asarray(w, np.float32)).max() + 1e-6
+        assert err.max() / scale < 2e-2, err.max()
+
+
+def test_streaming_inline_fwd_bwd_on_chip_beyond_resident_cap():
+    # ~8.9k keys: past the resident kernels' VMEM cap
+    layout = build_layout([RowSpec((5, 5, 5, 5), "training")], N)
+    meta, q, k, v, do = _qkv(layout, h=4)
+    assert not fa.flash_attention_supported(q, k, v)
+
+    def f_stream(q, k, v):
+        return jnp.sum((fa.flash_mha_streaming_inline(q, k, v, meta, meta)
+                        * do).astype(jnp.float32))
+
+    dense_bias = attention_bias(meta, meta, jnp.float32)
+
+    def f_chunk(q, k, v):
+        return jnp.sum((mha_chunked(q, k, v, dense_bias) * do)
+                       .astype(jnp.float32))
+
+    got = jax.jit(jax.grad(f_stream, argnums=(0, 1, 2)))(q, k, v)
+    want = jax.jit(jax.grad(f_chunk, argnums=(0, 1, 2)))(q, k, v)
+    for g, w in zip(got, want):
+        err = np.abs(np.asarray(g, np.float32) - np.asarray(w, np.float32))
+        scale = np.abs(np.asarray(w, np.float32)).max() + 1e-6
+        assert err.max() / scale < 2e-2, err.max()
+
+
+def test_streaming_inline_stage4_length_smoke():
+    """Stage-4 sequence (80 frames ~= 35.5k tokens): fwd+bwd compiles, runs,
+    grads finite — the length the round-1 dense-bias path could never reach
+    (pretrain_stage4_nv.sh:41-42)."""
+    layout = build_layout([RowSpec((8,) * 10, "training")], N)
+    meta, q, k, v, do = _qkv(layout, h=4)
+
+    def loss(q, k, v):
+        return jnp.sum((fa.flash_mha_streaming_inline(q, k, v, meta, meta)
+                        * do).astype(jnp.float32))
+
+    dq, dk, dv = jax.jit(jax.grad(loss, argnums=(0, 1, 2)))(q, k, v)
+    assert bool(jnp.isfinite(dq.astype(jnp.float32)).all())
+    assert bool(jnp.isfinite(dk.astype(jnp.float32)).all())
+    assert bool(jnp.isfinite(dv.astype(jnp.float32)).all())

@@ -154,10 +154,13 @@ class ImageGenProcessor:
     1 is stripped from chunk starts like the reference."""
 
     def __init__(self, tokenizer, max_image_size: int = 1024,
-                 token_ids: TokenIds = DEFAULT_TOKEN_IDS):
+                 token_ids: Optional[TokenIds] = None):
         self.tokenizer = tokenizer
         self.max_image_size = max_image_size
-        self.token_ids = token_ids
+        # derive <img>/</img>/<|diffusion|> ids from the real tokenizer when
+        # possible; DEFAULT_TOKEN_IDS is a smoke-run assumption only
+        self.token_ids = (token_ids if token_ids is not None
+                          else TokenIds.from_tokenizer(tokenizer))
 
     def add_prefix_instruction(self, prompt: str) -> str:
         return (

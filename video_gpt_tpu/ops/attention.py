@@ -144,14 +144,15 @@ def attend(q: jax.Array, k: jax.Array, v: jax.Array,
                 if bias is not None:
                     return flash_mha_biased(q, k, v, bias)
                 return flash_mha_inline(q, k, v, q_meta, k_meta)
-            if jax.default_backend() == "tpu" \
+            from .flash_attention import INTERPRET
+            if (jax.default_backend() == "tpu" or INTERPRET) \
                     and q.shape[2] % k.shape[2] == 0 and q.shape[3] <= 128:
-                # beyond the resident kernels' key cap: k-streaming forward
+                # beyond the resident kernels' key cap: k-streaming kernels
                 if bias is not None:
                     return flash_mha_streaming(q, k, v, bias)
                 from .flash_attention import flash_mha_streaming_inline
-                # metadata-inline variant: no bias HBM budget (forward-only;
-                # long-context training routes through 'chunked' explicitly)
+                # metadata-inline: O(L) mask memory, fwd AND bwd streaming
+                # Pallas kernels — the stage-2/3/4 training path
                 return flash_mha_streaming_inline(q, k, v, q_meta, k_meta)
         except ImportError:
             pass

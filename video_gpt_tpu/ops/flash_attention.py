@@ -426,14 +426,53 @@ def _flash_streaming_fwd(q, k, v, bias, block_q=None, block_k=512):
     return out[:, :, :lq, :d].transpose(0, 2, 1, 3)
 
 
+def _inline_visible(refs, shape, ki_offset, lk_real):
+    """Evaluate the frame-block visibility rule for one [bq, bk] tile from
+    the seven per-token metadata refs (shared by the streaming forward and
+    both streaming backward kernels)."""
+    (q_idx_ref, q_blk_ref, q_off_ref, q_pad_ref,
+     vis_ref, k_blk_ref, k_role_ref) = refs
+    q_idx = q_idx_ref[0, 0][:, None]
+    q_blk = q_blk_ref[0, 0][:, None]
+    q_off = q_off_ref[0, 0][:, None]
+    q_pad = q_pad_ref[0, 0][:, None]
+    vis = vis_ref[0, 0][None, :]
+    k_blk = k_blk_ref[0, 0][None, :]
+    k_role = k_role_ref[0, 0][None, :]
+    col = jax.lax.broadcasted_iota(jnp.int32, shape, 1) + ki_offset
+    return (q_idx >= vis) | (
+        (k_blk >= 0) & (k_blk == q_blk) & (q_off >= k_role)) | (
+        (q_pad > 0) & (col < lk_real))
+
+
+def _inline_visible_t(refs, shape, ki_offset, lk_real):
+    """Transposed-orientation ([bk, bq]: k rows, q columns) variant for the
+    dK/dV kernel — Mosaic cannot transpose a bool tile, so the rule is
+    evaluated directly in the layout it is consumed in."""
+    (q_idx_ref, q_blk_ref, q_off_ref, q_pad_ref,
+     vis_ref, k_blk_ref, k_role_ref) = refs
+    q_idx = q_idx_ref[0, 0][None, :]
+    q_blk = q_blk_ref[0, 0][None, :]
+    q_off = q_off_ref[0, 0][None, :]
+    q_pad = q_pad_ref[0, 0][None, :]
+    vis = vis_ref[0, 0][:, None]
+    k_blk = k_blk_ref[0, 0][:, None]
+    k_role = k_role_ref[0, 0][:, None]
+    row = jax.lax.broadcasted_iota(jnp.int32, shape, 0) + ki_offset
+    return (q_idx >= vis) | (
+        (k_blk >= 0) & (k_blk == q_blk) & (q_off >= k_role)) | (
+        (q_pad > 0) & (row < lk_real))
+
+
 def _stream_inline_kernel(q_idx_ref, q_blk_ref, q_off_ref, q_pad_ref,
                           vis_ref, k_blk_ref, k_role_ref,
-                          q_ref, k_ref, v_ref, o_ref,
+                          q_ref, k_ref, v_ref, o_ref, lse_ref,
                           m_scr, l_scr, acc_scr, *,
                           scale: float, lk_real: int, block_k: int):
     """Streaming forward with the visibility rule evaluated per tile from
     metadata — no [Lq, Lk] bias in HBM, so sequence length is bounded only
-    by HBM for K/V themselves (the stage-4 inference path)."""
+    by HBM for K/V themselves. Also emits the per-row logsumexp residual
+    the streaming backward kernels recompute probabilities from."""
     ki = pl.program_id(3)
     nk = pl.num_programs(3)
 
@@ -448,18 +487,9 @@ def _stream_inline_kernel(q_idx_ref, q_blk_ref, q_off_ref, q_pad_ref,
     v = v_ref[0, 0]
     s = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())),
                             preferred_element_type=jnp.float32) * scale
-    q_idx = q_idx_ref[0, 0][:, None]
-    q_blk = q_blk_ref[0, 0][:, None]
-    q_off = q_off_ref[0, 0][:, None]
-    q_pad = q_pad_ref[0, 0][:, None]
-    vis = vis_ref[0, 0][None, :]
-    k_blk = k_blk_ref[0, 0][None, :]
-    k_role = k_role_ref[0, 0][None, :]
-    col = (jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
-           + ki * block_k)
-    visible = (q_idx >= vis) | (
-        (k_blk >= 0) & (k_blk == q_blk) & (q_off >= k_role)) | (
-        (q_pad > 0) & (col < lk_real))
+    visible = _inline_visible(
+        (q_idx_ref, q_blk_ref, q_off_ref, q_pad_ref,
+         vis_ref, k_blk_ref, k_role_ref), s.shape, ki * block_k, lk_real)
     s = jnp.where(visible, s, -1e30)
 
     m_prev = m_scr[:, :1]
@@ -477,21 +507,23 @@ def _stream_inline_kernel(q_idx_ref, q_blk_ref, q_off_ref, q_pad_ref,
     def _():
         denom = jnp.maximum(l_scr[:, :1], 1e-30)
         o_ref[0, 0] = (acc_scr[:] / denom).astype(o_ref.dtype)
+        lse_ref[0, 0] = m_scr[:, 0] + jnp.log(denom[:, 0])
 
 
-def flash_mha_streaming_inline(q, k, v, q_meta: AttnMeta, k_meta: AttnMeta,
-                               block_q: int = 512, block_k: int = 512):
-    """Forward-only metadata streaming attention (O(L) mask memory)."""
+def _stream_geometry(q, k, block_q, block_k):
     b, lq, h, d = q.shape
     lk, hkv = k.shape[1], k.shape[2]
-    scale = d ** -0.5
     dp = _round_up(d, 128)
     bq = min(block_q, _round_up(lq, 8))
     lqp = _round_up(lq, bq)
     bk = min(block_k, _round_up(lk, 128))
     lkp = _round_up(lk, bk)
-    group = h // hkv
+    return b, lq, h, d, lk, hkv, dp, bq, lqp, bk, lkp
 
+
+def _stream_pad_inputs(q, k, v, q_meta, k_meta, lqp, lkp, dp):
+    d = q.shape[-1]
+    lq, lk = q.shape[1], k.shape[1]
     qt = jnp.pad(q.transpose(0, 2, 1, 3),
                  ((0, 0), (0, 0), (0, lqp - lq), (0, dp - d)))
     kt = jnp.pad(k.transpose(0, 2, 1, 3),
@@ -511,7 +543,18 @@ def flash_mha_streaming_inline(q, k, v, q_meta: AttnMeta, k_meta: AttnMeta,
                padq(q_meta.q_offset, 0), padq(q_meta.is_pad, 1),
                padk(k_meta.vis_start, 2**30),
                padk(k_meta.noisy_block, -1), padk(k_meta.noisy_role, 0))
+    return qt, kt, vt, meta_in
 
+
+def _stream_inline_fwd(q, k, v, q_meta: AttnMeta, k_meta: AttnMeta,
+                       block_q: int = 512, block_k: int = 512):
+    """Metadata streaming forward; returns (out, lse [B, H, Lqp] f32)."""
+    (b, lq, h, d, lk, hkv, dp, bq, lqp, bk, lkp) = _stream_geometry(
+        q, k, block_q, block_k)
+    scale = d ** -0.5
+    group = h // hkv
+    qt, kt, vt, meta_in = _stream_pad_inputs(q, k, v, q_meta, k_meta,
+                                             lqp, lkp, dp)
     grid = (b, h, lqp // bq, lkp // bk)
 
     def qmeta_spec():
@@ -522,7 +565,7 @@ def flash_mha_streaming_inline(q, k, v, q_meta: AttnMeta, k_meta: AttnMeta,
         return pl.BlockSpec((1, 1, bk), lambda bi, hi, qi, ki: (bi, 0, ki),
                             memory_space=pltpu.VMEM)
 
-    out = pl.pallas_call(
+    out, lse = pl.pallas_call(
         functools.partial(_stream_inline_kernel, scale=scale, lk_real=lk,
                           block_k=bk),
         grid=grid,
@@ -537,10 +580,20 @@ def flash_mha_streaming_inline(q, k, v, q_meta: AttnMeta, k_meta: AttnMeta,
                          lambda bi, hi, qi, ki: (bi, hi // group, ki, 0),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((1, 1, bq, dp),
-                               lambda bi, hi, qi, ki: (bi, hi, qi, 0),
-                               memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((b, h, lqp, dp), q.dtype),
+        out_specs=(
+            pl.BlockSpec((1, 1, bq, dp),
+                         lambda bi, hi, qi, ki: (bi, hi, qi, 0),
+                         memory_space=pltpu.VMEM),
+            # [B*H, 1, Lqp]: middle dim equals the array dim, satisfying the
+            # TPU block-shape rule (same trick as the 1-D metadata inputs)
+            pl.BlockSpec((1, 1, bq),
+                         lambda bi, hi, qi, ki, h=h: (bi * h + hi, 0, qi),
+                         memory_space=pltpu.VMEM),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((b, h, lqp, dp), q.dtype),
+            jax.ShapeDtypeStruct((b * h, 1, lqp), jnp.float32),
+        ),
         scratch_shapes=[
             pltpu.VMEM((bq, 128), jnp.float32),
             pltpu.VMEM((bq, 128), jnp.float32),
@@ -548,7 +601,194 @@ def flash_mha_streaming_inline(q, k, v, q_meta: AttnMeta, k_meta: AttnMeta,
         ],
         interpret=INTERPRET,
     )(*meta_in, qt, kt, vt)
-    return out[:, :, :lq, :d].transpose(0, 2, 1, 3)
+    return out[:, :, :lq, :d].transpose(0, 2, 1, 3), lse
+
+
+def _stream_dq_kernel(q_idx_ref, q_blk_ref, q_off_ref, q_pad_ref,
+                      vis_ref, k_blk_ref, k_role_ref,
+                      q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref,
+                      dq_ref, *, scale: float, lk_real: int, block_k: int):
+    """dQ: grid (B, H, q-blocks, k-blocks), k innermost; p recomputed from
+    the forward's logsumexp, dq accumulated in the revisited f32 out block
+    (the FlashAttention-2 backward, with the mask evaluated from metadata)."""
+    ki = pl.program_id(3)
+
+    @pl.when(ki == 0)
+    def _():
+        dq_ref[0, 0] = jnp.zeros_like(dq_ref[0, 0])
+
+    q = q_ref[0, 0]
+    k = k_ref[0, 0]
+    v = v_ref[0, 0]
+    do = do_ref[0, 0].astype(jnp.float32)
+    lse = lse_ref[0, 0][:, None]
+    delta = delta_ref[0, 0][:, None]
+    s = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())),
+                            preferred_element_type=jnp.float32) * scale
+    visible = _inline_visible(
+        (q_idx_ref, q_blk_ref, q_off_ref, q_pad_ref,
+         vis_ref, k_blk_ref, k_role_ref), s.shape, ki * block_k, lk_real)
+    s = jnp.where(visible, s, -1e30)
+    p = jnp.exp(s - lse)                          # masked entries underflow
+    dp_ = jax.lax.dot_general(do, v.astype(jnp.float32),
+                              (((1,), (1,)), ((), ())),
+                              preferred_element_type=jnp.float32)
+    ds = p * (dp_ - delta) * scale
+    dq_ref[0, 0] += jnp.dot(ds, k.astype(jnp.float32),
+                            preferred_element_type=jnp.float32)
+
+
+def _stream_dkv_kernel(q_idx_ref, q_blk_ref, q_off_ref, q_pad_ref,
+                       vis_ref, k_blk_ref, k_role_ref,
+                       q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref,
+                       dk_ref, dv_ref, *, scale: float, lk_real: int,
+                       block_k: int):
+    """dK/dV: grid (B, H, k-blocks, q-blocks), q innermost; transposed
+    scores [bk, bq] so dk/dv accumulate in revisited f32 out blocks."""
+    qi = pl.program_id(3)
+
+    @pl.when(qi == 0)
+    def _():
+        dk_ref[0, 0] = jnp.zeros_like(dk_ref[0, 0])
+        dv_ref[0, 0] = jnp.zeros_like(dv_ref[0, 0])
+
+    q = q_ref[0, 0]
+    k = k_ref[0, 0]
+    v = v_ref[0, 0]
+    do = do_ref[0, 0].astype(jnp.float32)
+    lse = lse_ref[0, 0][None, :]                  # [1, bq]
+    delta = delta_ref[0, 0][None, :]
+    st = jax.lax.dot_general(k, q, (((1,), (1,)), ((), ())),
+                             preferred_element_type=jnp.float32) * scale
+    ki = pl.program_id(2)
+    visible = _inline_visible_t(
+        (q_idx_ref, q_blk_ref, q_off_ref, q_pad_ref,
+         vis_ref, k_blk_ref, k_role_ref), st.shape, ki * block_k, lk_real)
+    st = jnp.where(visible, st, -1e30)
+    pt = jnp.exp(st - lse)                        # [bk, bq]
+    dv_ref[0, 0] += jnp.dot(pt, do, preferred_element_type=jnp.float32)
+    dpt = jax.lax.dot_general(v.astype(jnp.float32), do,
+                              (((1,), (1,)), ((), ())),
+                              preferred_element_type=jnp.float32)
+    dst = pt * (dpt - delta) * scale
+    dq_dtype = jnp.float32
+    dk_ref[0, 0] += jnp.dot(dst, q.astype(dq_dtype),
+                            preferred_element_type=jnp.float32)
+
+
+def _stream_inline_bwd_impl(q, k, v, o, lse, do, q_meta, k_meta,
+                            block_q: int = 512, block_k: int = 512):
+    (b, lq, h, d, lk, hkv, dp, bq, lqp, bk, lkp) = _stream_geometry(
+        q, k, block_q, block_k)
+    if h != hkv:
+        # GQA would need cross-head accumulation in dkv; the flagship model
+        # is MHA (Phi-3 32/32) — recompute through the chunked path instead
+        from .attention import attention_bias, mha_chunked
+        dense = attention_bias(q_meta, k_meta, jnp.float32)
+        _, pullback = jax.vjp(
+            lambda q, k, v: mha_chunked(q, k, v, dense), q, k, v)
+        return pullback(do.astype(q.dtype))
+    scale = d ** -0.5
+    qt, kt, vt, meta_in = _stream_pad_inputs(q, k, v, q_meta, k_meta,
+                                             lqp, lkp, dp)
+    dot_ = jnp.pad(do.transpose(0, 2, 1, 3),
+                   ((0, 0), (0, 0), (0, lqp - lq), (0, dp - d)))
+    # delta = rowsum(dO * O), computed once in XLA (fuses with the pad);
+    # [B*H, 1, Lqp] like lse (see the block-shape note in the forward)
+    delta = jnp.pad(
+        jnp.einsum("blhd,blhd->bhl", do.astype(jnp.float32),
+                   o.astype(jnp.float32)),
+        ((0, 0), (0, 0), (0, lqp - lq))).reshape(b * h, 1, lqp)
+
+    def qmeta4(axis_q):
+        return pl.BlockSpec((1, 1, bq),
+                            lambda bi, hi, i, j, axis_q=axis_q:
+                            (bi, 0, i if axis_q == 2 else j),
+                            memory_space=pltpu.VMEM)
+
+    def kmeta4(axis_k):
+        return pl.BlockSpec((1, 1, bk),
+                            lambda bi, hi, i, j, axis_k=axis_k:
+                            (bi, 0, i if axis_k == 2 else j),
+                            memory_space=pltpu.VMEM)
+
+    def qrow4(axis_q):
+        return pl.BlockSpec((1, 1, bq),
+                            lambda bi, hi, i, j, axis_q=axis_q, h=h:
+                            (bi * h + hi, 0, i if axis_q == 2 else j),
+                            memory_space=pltpu.VMEM)
+
+    def qblk4(axis_q):
+        return pl.BlockSpec((1, 1, bq, dp),
+                            lambda bi, hi, i, j, axis_q=axis_q:
+                            (bi, hi, i if axis_q == 2 else j, 0),
+                            memory_space=pltpu.VMEM)
+
+    def kblk4(axis_k):
+        return pl.BlockSpec((1, 1, bk, dp),
+                            lambda bi, hi, i, j, axis_k=axis_k:
+                            (bi, hi, i if axis_k == 2 else j, 0),
+                            memory_space=pltpu.VMEM)
+
+    # dQ: q-blocks outer, k-blocks inner
+    dq = pl.pallas_call(
+        functools.partial(_stream_dq_kernel, scale=scale, lk_real=lk,
+                          block_k=bk),
+        grid=(b, h, lqp // bq, lkp // bk),
+        in_specs=[qmeta4(2)] * 4 + [kmeta4(3)] * 3
+        + [qblk4(2), kblk4(3), kblk4(3), qblk4(2), qrow4(2), qrow4(2)],
+        out_specs=qblk4(2),
+        out_shape=jax.ShapeDtypeStruct((b, h, lqp, dp), jnp.float32),
+        interpret=INTERPRET,
+    )(*meta_in, qt, kt, vt, dot_, lse, delta)
+
+    # dK/dV: k-blocks outer, q-blocks inner
+    dk, dv = pl.pallas_call(
+        functools.partial(_stream_dkv_kernel, scale=scale, lk_real=lk,
+                          block_k=bk),
+        grid=(b, h, lkp // bk, lqp // bq),
+        in_specs=[qmeta4(3)] * 4 + [kmeta4(2)] * 3
+        + [qblk4(3), kblk4(2), kblk4(2), qblk4(3), qrow4(3), qrow4(3)],
+        out_specs=(kblk4(2), kblk4(2)),
+        out_shape=(jax.ShapeDtypeStruct((b, h, lkp, dp), jnp.float32),
+                   jax.ShapeDtypeStruct((b, h, lkp, dp), jnp.float32)),
+        interpret=INTERPRET,
+    )(*meta_in, qt, kt, vt, dot_, lse, delta)
+
+    dq = dq[:, :, :lq, :d].transpose(0, 2, 1, 3).astype(q.dtype)
+    dk = dk[:, :, :lk, :d].transpose(0, 2, 1, 3).astype(k.dtype)
+    dv = dv[:, :, :lk, :d].transpose(0, 2, 1, 3).astype(v.dtype)
+    return dq, dk, dv
+
+
+@jax.custom_vjp
+def _stream_inline_vjp(q, k, v, *meta):
+    qm, km = AttnMeta(*meta[:7]), AttnMeta(*meta[7:])
+    return _stream_inline_fwd(q, k, v, qm, km)[0]
+
+
+def _stream_inline_vjp_fwd(q, k, v, *meta):
+    qm, km = AttnMeta(*meta[:7]), AttnMeta(*meta[7:])
+    o, lse = _stream_inline_fwd(q, k, v, qm, km)
+    return o, (q, k, v, o, lse, meta)
+
+
+def _stream_inline_vjp_bwd(res, do):
+    q, k, v, o, lse, meta = res
+    qm, km = AttnMeta(*meta[:7]), AttnMeta(*meta[7:])
+    dq, dk, dv = _stream_inline_bwd_impl(q, k, v, o, lse, do, qm, km)
+    return (dq, dk, dv) + (None,) * len(meta)
+
+
+_stream_inline_vjp.defvjp(_stream_inline_vjp_fwd, _stream_inline_vjp_bwd)
+
+
+def flash_mha_streaming_inline(q, k, v, q_meta: AttnMeta, k_meta: AttnMeta):
+    """Length-unbounded metadata streaming attention, DIFFERENTIABLE: the
+    backward is the streaming Pallas pair (dq; dk/dv) with O(L) mask memory
+    — stage-2/3/4 training lengths never materialise a dense bias
+    (cf. pretrain_stage4_nv.sh:41-42: 80 frames, max_input_length 1.28M)."""
+    return _stream_inline_vjp(q, k, v, *tuple(q_meta), *tuple(k_meta))
 
 
 @jax.custom_vjp

@@ -9,9 +9,10 @@ collectives (all-to-all / all-gather / reduce-scatter) over ICI.
 Axes:
 - ``data``: batch / gradient sharding (ZeRO-style optimizer-state sharding)
 - ``seq``: sequence-parallel axis — activations [B, L, D] constrained to
-  P('data', 'seq', None); the partitioner derives the Ulysses-style
-  all-to-all attention pattern the reference hand-writes
-  (LVM/transform/sdpa_transform.py:126-159).
+  P('data', 'seq', None) between layers; the attention itself goes through
+  the EXPLICIT shard_map Ulysses all-to-all in ``parallel.ulysses`` when
+  ``ModelConfig.sp_attention == 'ulysses'`` (the counterpart of
+  LVM/transform/sdpa_transform.py:126-159).
 """
 from __future__ import annotations
 

@@ -45,5 +45,31 @@ class TokenIds:
     img_close: int = 32003
     diffusion: int = 32004
 
+    @classmethod
+    def from_tokenizer(cls, tokenizer) -> "TokenIds":
+        """Derive the structural ids from a real checkpoint tokenizer
+        (the reference never hard-codes ids — ``<img>``/``</img>``/
+        ``<|diffusion|>`` are added tokens of the shipped tokenizer,
+        LVM/processor.py:76). The class defaults are only a smoke-run
+        assumption; any real checkpoint should go through here."""
+        def tid(tok, default):
+            try:
+                t = tokenizer.convert_tokens_to_ids(tok)
+                unk = getattr(tokenizer, "unk_token_id", None)
+                if t is None or t < 0 or (unk is not None and t == unk):
+                    return default
+                return int(t)
+            except Exception:
+                return default
+
+        pad = getattr(tokenizer, "pad_token_id", None)
+        return cls(
+            pad=int(pad) if pad is not None else cls.pad,
+            slot=cls.slot,
+            img_open=tid("<img>", cls.img_open),
+            img_close=tid("</img>", cls.img_close),
+            diffusion=tid("<|diffusion|>", cls.diffusion),
+        )
+
 
 DEFAULT_TOKEN_IDS = TokenIds()

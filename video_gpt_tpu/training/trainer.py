@@ -69,11 +69,9 @@ class Trainer:
             overrides["remat"] = True
         est_l = 2 * train_cfg.frame_num * (
             tokens_per_frame(*target_resolution) + 2)
-        if model_cfg.attn_impl in ("auto", "pallas") and est_l > 8192:
-            # 'auto' trains through the custom-VJP flash kernel when the
-            # precomputed bias fits; beyond the kernels' VMEM-resident key
-            # cap fall back to the differentiable q/head-chunked path
-            overrides["attn_impl"] = "chunked"
+        # 'auto' trains through the custom-VJP resident flash kernels up to
+        # their ~8k-key VMEM cap and through the streaming Pallas fwd+bwd
+        # pair beyond it — no dense-bias cliff at stage-2/3/4 lengths
         # enforce the sequence budget (reference rejects long samples,
         # LVM/train_helper/data.py:224-225; here shapes are static so the
         # check is static too)
