@@ -26,9 +26,10 @@ from video_gpt_tpu.utils.cache import enable_compilation_cache
 enable_compilation_cache()
 
 from video_gpt_tpu.config import ModelConfig, SchedulerConfig
-from video_gpt_tpu.layout import frame_block_inference_layout, tokens_per_frame
-from video_gpt_tpu.models.video_gpt import Batch, VideoGPT
-from video_gpt_tpu.sampling.scheduler import sample
+from video_gpt_tpu.layout import (decode_rank, frame_block_inference_layout,
+                                  tokens_per_frame)
+from video_gpt_tpu.models.video_gpt import Batch, VideoGPT, decode_mask
+from video_gpt_tpu.sampling.scheduler import sample, sample_separate_cfg
 
 N_CLEAN = int(os.environ.get("BENCH_CLEAN", 8))
 N_GEN = int(os.environ.get("BENCH_GEN", 16))
@@ -49,10 +50,17 @@ def main():
     model = VideoGPT(cfg, dtype=dtype)
     n = tokens_per_frame(H, W)
     hl, wl = H // 8, W // 8
+    # reference-algorithm layout: CFG pair as one padded batch
     layout = frame_block_inference_layout(N_CLEAN, N_GEN, n, use_cfg=True)
     batch = Batch.from_layout(layout)
-    tail = layout.noisy_tail_len()
-    prefix = layout.length - tail
+    # fast-path layouts: separate-CFG at natural lengths (pipeline.py)
+    layout_c = frame_block_inference_layout(N_CLEAN, N_GEN, n, use_cfg=False)
+    layout_u = frame_block_inference_layout(0, N_GEN, n, use_cfg=False)
+    batch_c, batch_u = Batch.from_layout(layout_c), Batch.from_layout(layout_u)
+    tail = layout_c.noisy_tail_len()
+    prefix = layout_c.length - tail
+    assert decode_rank(layout_c, tail) is not None
+    assert decode_rank(layout_u, layout_u.length) is not None
 
     nn_ = 2 * N_GEN
     z0 = jax.random.normal(jax.random.PRNGKey(0),
@@ -67,30 +75,67 @@ def main():
 
     sched = SchedulerConfig(num_steps=STEPS, prediction_type="x1")
 
+    assert decode_rank(layout, tail) is not None
+
     @jax.jit
-    def cached_clip(params, clean, z0):
-        cache = model.apply(params, batch, clean, prefix,
+    def cached_clip_separate(params, clean, z0):
+        """Separate-CFG: each context at its natural length (fewest
+        attention elements, but two M=3552 trunk calls run ~20% under the
+        batched matmul rate — see scripts/profile_decode.py)."""
+        cache = model.apply(params, batch_c, clean, prefix,
                             method=VideoGPT.prefill)
+        bias_c = decode_mask(batch_c.meta.tail(tail), batch_c.meta)
+        bias_u = decode_mask(batch_u.meta, batch_u.meta)
+
+        def denoise_pair(z, t):
+            return (model.apply(params, batch_c, z, t, cache, tail, bias_c,
+                                method=VideoGPT.decode),
+                    model.apply(params, batch_u, z, t, bias=bias_u))
+
+        return sample_separate_cfg(z0, denoise_pair, sched, cfg_scale=1.5)
+
+    @jax.jit
+    def cached_clip_batched(params, clean, z0):
+        """Hybrid: prefill ONLY the conditional row (B=1), then decode the
+        CFG pair as one B=2 trunk call (both tails are real tokens; the
+        uncond row's cache slot is zeros, excluded by its rank mask)."""
+        cache = model.apply(params, batch_c, clean, prefix,
+                            method=VideoGPT.prefill)
+        cache = jax.tree.map(
+            lambda x: jnp.pad(x, ((0, 0), (0, 1)) + ((0, 0),) * (x.ndim - 2)),
+            cache)
+        dm = decode_mask(batch.meta.tail(tail), batch.meta)
 
         def denoise(z, t):
-            return model.apply(params, batch, z, t, cache, tail,
+            return model.apply(params, batch, z, t, cache, tail, dm,
                                method=VideoGPT.decode)
 
         return sample(z0, denoise, sched, use_cfg=True, cfg_scale=1.5)
 
     @jax.jit
     def uncached_clip(params, clean, z0):
-        # reference algorithm: full-sequence forward at every step
+        # reference algorithm: full-sequence forward at every step, CFG pair
+        # as one padded batch, KV cache disabled (LVM/scheduler.py:174)
         def denoise(z, t):
             return model.apply(params, batch, z, t, clean)
 
         return sample(z0, denoise, sched, use_cfg=True, cfg_scale=1.5)
 
-    cached_clip(params, clean, z0).block_until_ready()  # compile
+    # separate-CFG measured faster than the batched B=2 pair on v5e (4.73s
+    # vs 5.26s p50): XLA overlaps the two independent programs, hiding the
+    # VPU-bound attention of one under the MXU-bound matmuls of the other
+    mode = os.environ.get("BENCH_CFG_MODE", "separate")
+    if mode == "separate":
+        cached_clip = cached_clip_separate
+        z0_fast = z0[:N_GEN]
+    else:
+        cached_clip = cached_clip_batched
+        z0_fast = jnp.concatenate([z0[:N_GEN], z0[:N_GEN]], axis=0)
+    cached_clip(params, clean, z0_fast).block_until_ready()  # compile
     ts = []
     for _ in range(REPS):
         t0 = time.perf_counter()
-        cached_clip(params, clean, z0).block_until_ready()
+        cached_clip(params, clean, z0_fast).block_until_ready()
         ts.append(time.perf_counter() - t0)
     t_cached = median(ts)
 

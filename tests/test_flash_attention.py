@@ -285,3 +285,59 @@ def test_streaming_inline_public_vjp_matches_dense():
     for g, wnt in zip(got, want):
         np.testing.assert_allclose(np.asarray(g), np.asarray(wnt),
                                    atol=1e-4, rtol=1e-4)
+
+
+def test_decode_rank_collapse_bit_exact():
+    """layout.decode_rank's columnar mask == the dense rule on tail rows."""
+    from video_gpt_tpu.layout import decode_rank, render_dense_mask
+    n = tokens_per_frame(32, 48)
+    for n_clean, n_gen in ((3, 2), (0, 2), (5, 1)):
+        layout = frame_block_inference_layout(n_clean, n_gen, n, use_cfg=False)
+        tail = layout.noisy_tail_len()
+        got = decode_rank(layout, tail)
+        assert got is not None, (n_clean, n_gen)
+        rank, q_off = got
+        dense = render_dense_mask(layout)[:, -tail:, :]
+        columnar = q_off[:, :, None] >= rank[:, None, :]
+        np.testing.assert_array_equal(columnar, dense)
+
+
+def test_decode_rank_rejects_lossy_layouts():
+    from video_gpt_tpu.layout import decode_rank
+    n = tokens_per_frame(32, 48)
+    # training scheme, full-length tail: queries include clean-copy tokens
+    # (q_block == -1) and noisy tokens of several blocks
+    layout = build_layout([RowSpec((2, 2), "training")], n)
+    assert decode_rank(layout, layout.length) is None
+    # tail spanning two noisy blocks (block0 noisy + block0 clean + block1
+    # noisy): clean queries in the middle reject the collapse
+    tail_two_blocks = layout.length  # == all of row 0's tokens here
+    assert decode_rank(layout, tail_two_blocks) is None
+    # inference layout, tail reaching into the clean prefix
+    inf = frame_block_inference_layout(2, 2, n, use_cfg=False)
+    too_long = inf.noisy_tail_len() + (n + 2)  # includes clean queries
+    assert decode_rank(inf, too_long) is None
+
+
+def test_flash_decode_kernel_matches_reference():
+    """flash_mha_decode == dense reference at decode shapes (incl. GQA)."""
+    from video_gpt_tpu.layout import decode_rank
+    from video_gpt_tpu.models.video_gpt import decode_mask
+    from video_gpt_tpu.ops.flash_attention import DecodeMask, flash_mha_decode
+    n = tokens_per_frame(32, 48)
+    for n_clean, h, hkv in ((3, 4, 4), (2, 4, 2), (0, 4, 4)):
+        layout = frame_block_inference_layout(n_clean, 2, n, use_cfg=False)
+        meta = AttnMeta.from_layout(layout)
+        tail = layout.noisy_tail_len()
+        q_meta = meta.tail(tail)
+        b, l = layout.batch, layout.length
+        q, k, v = _rand_qkv(jax.random.PRNGKey(7), b, tail, l, h, hkv, 96)
+        ref = mha_reference(q, k, v, attention_bias(q_meta, meta))
+        # device-side mask derivation must equal the host-side one
+        rank_np, qoff_np = decode_rank(layout, tail)
+        dm = decode_mask(q_meta, meta)
+        np.testing.assert_array_equal(np.asarray(dm.rank), rank_np)
+        np.testing.assert_array_equal(np.asarray(dm.q_off), qoff_np)
+        out = flash_mha_decode(q, k, v, dm, interpret=True)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                                   atol=2e-5, rtol=2e-5)

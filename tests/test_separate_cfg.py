@@ -1,0 +1,130 @@
+"""Separate-CFG equals the padded CFG pair.
+
+The reference's LVM path runs the CFG pair as ONE batch where the
+unconditional row is left-padded to the conditional row's length
+(LVM/pipeline.py:436-448, LVM/processor.py:366-421); the OmniGen ancestor
+has the pad-free separate evaluation (OmniGen/model.py:376-402). The
+pipeline uses the separate form for speed — this test pins that it is
+numerically the padded form.
+"""
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from video_gpt_tpu.config import ModelConfig, SchedulerConfig
+from video_gpt_tpu.layout import frame_block_inference_layout
+from video_gpt_tpu.models.video_gpt import Batch, VideoGPT
+from video_gpt_tpu.sampling.scheduler import sample, sample_separate_cfg
+
+N_CLEAN, N_GEN, N_IMG, HL, WL, C = 2, 2, 4, 4, 4, 4
+
+
+def _setup():
+    cfg = ModelConfig.tiny(attn_impl="reference", pos_embed_max_size=8)
+    model = VideoGPT(cfg, dtype=jnp.float32)
+    lay = frame_block_inference_layout(N_CLEAN, N_GEN, N_IMG, use_cfg=True)
+    batch = Batch.from_layout(lay)
+    z = jax.random.normal(jax.random.PRNGKey(0), (N_GEN, HL, WL, C))
+    clean = jax.random.normal(jax.random.PRNGKey(1), (N_CLEAN, HL, WL, C))
+    z2 = jnp.concatenate([z, z], axis=0)
+    params = model.init(jax.random.PRNGKey(2), batch, z2,
+                        jnp.zeros((2 * N_GEN,)), clean)
+    return model, params, batch, z, clean
+
+
+def test_separate_cfg_matches_padded_pair():
+    model, params, batch, z, clean = _setup()
+    sched = SchedulerConfig(num_steps=3, prediction_type="x1")
+    scale = 1.7
+
+    # padded pair: one batch, uncond row left-padded to cond length
+    def denoise_padded(zz, t):
+        return model.apply(params, batch, zz, t, clean)
+
+    padded = sample(jnp.concatenate([z, z], axis=0), denoise_padded, sched,
+                    use_cfg=True, cfg_scale=scale)[:N_GEN]
+
+    # separate: each context at its natural length
+    lay_c = frame_block_inference_layout(N_CLEAN, N_GEN, N_IMG, use_cfg=False)
+    lay_u = frame_block_inference_layout(0, N_GEN, N_IMG, use_cfg=False)
+    batch_c, batch_u = Batch.from_layout(lay_c), Batch.from_layout(lay_u)
+
+    def denoise_pair(zz, t):
+        return (model.apply(params, batch_c, zz, t, clean),
+                model.apply(params, batch_u, zz, t))
+
+    sep = sample_separate_cfg(z, denoise_pair, sched, cfg_scale=scale)
+
+    np.testing.assert_allclose(np.asarray(sep), np.asarray(padded),
+                               rtol=2e-5, atol=2e-5)
+
+
+def test_separate_cfg_prefill_decode_matches_padded_pair():
+    """The pipeline's actual fast path: cond row decodes against a prefill
+    cache, uncond is a tail-only full forward."""
+    model, params, batch, z, clean = _setup()
+    sched = SchedulerConfig(num_steps=2, prediction_type="x1")
+    scale = 1.3
+
+    def denoise_padded(zz, t):
+        return model.apply(params, batch, zz, t, clean)
+
+    padded = sample(jnp.concatenate([z, z], axis=0), denoise_padded, sched,
+                    use_cfg=True, cfg_scale=scale)[:N_GEN]
+
+    lay_c = frame_block_inference_layout(N_CLEAN, N_GEN, N_IMG, use_cfg=False)
+    lay_u = frame_block_inference_layout(0, N_GEN, N_IMG, use_cfg=False)
+    batch_c, batch_u = Batch.from_layout(lay_c), Batch.from_layout(lay_u)
+    tail = lay_c.noisy_tail_len()
+    prefix = lay_c.length - tail
+    cache = model.apply(params, batch_c, clean, prefix,
+                        method=VideoGPT.prefill)
+
+    def denoise_pair(zz, t):
+        return (model.apply(params, batch_c, zz, t, cache, tail,
+                            method=VideoGPT.decode),
+                model.apply(params, batch_u, zz, t))
+
+    sep = sample_separate_cfg(z, denoise_pair, sched, cfg_scale=scale)
+    np.testing.assert_allclose(np.asarray(sep), np.asarray(padded),
+                               rtol=2e-5, atol=2e-5)
+
+
+def test_hybrid_batched_pair_matches_padded_pair():
+    """bench.py's hybrid mode: B=1 prefill + zero-padded cache row for the
+    uncond context + columnar rank mask on the padded pair layout."""
+    from video_gpt_tpu.layout import decode_rank
+    from video_gpt_tpu.models.video_gpt import decode_mask
+
+    model, params, batch, z, clean = _setup()
+    sched = SchedulerConfig(num_steps=2, prediction_type="x1")
+    scale = 1.4
+
+    def denoise_padded(zz, t):
+        return model.apply(params, batch, zz, t, clean)
+
+    padded = sample(jnp.concatenate([z, z], axis=0), denoise_padded, sched,
+                    use_cfg=True, cfg_scale=scale)[:N_GEN]
+
+    lay = frame_block_inference_layout(N_CLEAN, N_GEN, N_IMG, use_cfg=True)
+    tail = lay.noisy_tail_len()
+    assert decode_rank(lay, tail) is not None
+    lay_c = frame_block_inference_layout(N_CLEAN, N_GEN, N_IMG, use_cfg=False)
+    batch_c = Batch.from_layout(lay_c)
+    prefix = lay_c.length - lay_c.noisy_tail_len()
+    cache = model.apply(params, batch_c, clean, prefix,
+                        method=VideoGPT.prefill)
+    cache = jax.tree.map(
+        lambda x: jnp.pad(x, ((0, 0), (0, 1)) + ((0, 0),) * (x.ndim - 2)),
+        cache)
+    dm = decode_mask(batch.meta.tail(tail), batch.meta)
+
+    def denoise(zz, t):
+        return model.apply(params, batch, zz, t, cache, tail, dm,
+                           method=VideoGPT.decode)
+
+    hybrid = sample(jnp.concatenate([z, z], axis=0), denoise, sched,
+                    use_cfg=True, cfg_scale=scale)[:N_GEN]
+    np.testing.assert_allclose(np.asarray(hybrid), np.asarray(padded),
+                               rtol=2e-5, atol=2e-5)

@@ -336,6 +336,48 @@ def frame_block_inference_layout(
     return build_layout(specs, n_img, pad_to_multiple, pad_to, token_ids)
 
 
+def decode_rank(layout: SequenceLayout, tail_len: int):
+    """Columnar decode-mask metadata, or None when inapplicable.
+
+    For the inference decode step — queries are the trailing ``tail_len``
+    noisy tokens of ONE frame-block — the full visibility rule collapses to
+    ``visible(q, k) = q_offset(q) >= rank(k)`` with a per-KEY rank:
+
+    - ``-1``   keys visible to the entire tail (clean/text prefix),
+    - ``0/1/2`` same-block noisy keys gated by role (DIFF/TIME/patch),
+    - ``2**30`` never-visible keys (pads, other blocks' noisy keys).
+
+    Returns ``(rank [B, L] int32, q_off [B, tail_len] int32)`` numpy arrays
+    consumed by ``ops.flash_attention.flash_mha_decode``. Conservatively
+    returns None for any layout where the collapse would be lossy (verified
+    bit-exactly against :func:`render_dense_mask` in tests).
+    """
+    L = layout.length
+    first_q = L - tail_len
+    qb = layout.q_block[:, first_q:]
+    if (layout.kind[:, first_q:] == int(Kind.PAD)).any():
+        return None
+    if (qb < 0).any():
+        return None
+    ranks = []
+    for b in range(layout.batch):
+        g = qb[b, 0]
+        if (qb[b] != g).any():
+            return None
+        vis = layout.vis_start[b]
+        nblk = layout.noisy_block[b]
+        role = layout.noisy_role[b]
+        is_noisy = nblk >= 0
+        # non-noisy keys must be visible to the whole tail or never
+        plain = ~is_noisy
+        if ((vis[plain] > first_q) & (vis[plain] != NEVER)).any():
+            return None
+        rank = np.where(is_noisy & (nblk == g), role,
+                        np.where(vis <= first_q, -1, NEVER)).astype(np.int32)
+        ranks.append(rank)
+    return np.stack(ranks), layout.q_offset[:, first_q:].copy()
+
+
 def render_dense_mask(layout: SequenceLayout) -> np.ndarray:
     """[B, L, L] bool mask (rows=queries). Test/reference path only — the
     Pallas kernel evaluates the same rule per tile."""

@@ -76,6 +76,20 @@ def maybe_bias(cfg: ModelConfig, q_meta: AttnMeta, k_meta: AttnMeta):
     return precompute_bias(q_meta, k_meta)
 
 
+def decode_mask(q_meta: AttnMeta, k_meta: AttnMeta):
+    """Columnar decode mask (jnp mirror of ``layout.decode_rank``; the
+    host-side predicate there must have validated the layout first). O(L)
+    metadata instead of an O(Lq*Lk) bias — the decode kernel evaluates
+    ``q_offset >= rank`` per element with zero bias HBM traffic."""
+    from ..ops.flash_attention import DecodeMask
+    first_q = k_meta.vis_start.shape[1] - q_meta.q_offset.shape[1]
+    g = q_meta.q_block[:, -1:]
+    nb = k_meta.noisy_block
+    rank = jnp.where((nb >= 0) & (nb == g), k_meta.noisy_role,
+                     jnp.where(k_meta.vis_start <= first_q, -1, 2**30))
+    return DecodeMask(rank=rank.astype(jnp.int32), q_off=q_meta.q_offset)
+
+
 def _scatter(emb: jax.Array, src: jax.Array, values: jax.Array) -> jax.Array:
     """Replace emb[b, l] with values[src[b, l]] where src >= 0."""
     flat = values.reshape(-1, values.shape[-1])
@@ -165,14 +179,19 @@ class VideoGPT(nn.Module):
 
     def __call__(self, batch: Batch, noisy_latents: jax.Array, t: jax.Array,
                  clean_latents: Optional[jax.Array] = None,
-                 input_output_return: bool = False):
+                 input_output_return: bool = False,
+                 bias: Optional[jax.Array] = None):
         """Full-sequence forward. Returns x1-prediction per noisy frame
-        [Nn, hl, wl, C] (+ optional clean-frame reconstruction)."""
+        [Nn, hl, wl, C] (+ optional clean-frame reconstruction). ``bias``
+        lets loop callers (the sampler's scan) pay the step-invariant mask
+        evaluation once, like :meth:`decode`."""
         emb = self._assemble(batch.input_ids, batch.noisy_src,
                              batch.clean_src, batch.time_src,
                              noisy_latents, t, clean_latents)
+        if bias is None:
+            bias = self._maybe_bias(batch.meta, batch.meta)
         hidden, _ = self.llm(emb, batch.pos_ids, batch.meta, batch.meta,
-                             bias=self._maybe_bias(batch.meta, batch.meta))
+                             bias=bias)
         nn_, hl, wl, _ = noisy_latents.shape
         pred = self._heads(hidden, batch.noisy_gather, t, (nn_, hl, wl))
         if input_output_return:
@@ -196,6 +215,41 @@ class VideoGPT(nn.Module):
         _, cache = self.llm(emb, batch.pos_ids[:, :lp], meta_p, meta_p,
                             bias=self._maybe_bias(meta_p, meta_p))
         return cache
+
+    def extend_cache(self, batch: Batch, new_latents: jax.Array,
+                     cache: KVCache, new_len: int,
+                     n_prev_clean: int) -> KVCache:
+        """Grow a clean-prefix cache by the segment tokens in
+        ``batch.input_ids[:, old:old+new_len]`` (the clean copies of the
+        previous block's predictions) instead of re-prefilling the whole
+        prefix — the cross-block half of the OmniGen cache pattern
+        (OmniGen/scheduler.py:155-176; the reference re-encodes the full
+        prefix every block, LVM/pipeline.py:418-422).
+
+        ``new_latents`` holds ONLY the appended frames; ``n_prev_clean`` is
+        how many clean frames the existing cache already covers. Exact
+        equality with a fresh prefill holds because clean positions always
+        start at 0 and the layout is pad-free (B=1 separate-CFG row):
+        verified in tests/test_kv_extend.py.
+        """
+        old = cache.length
+        sl = slice(old, old + new_len)
+        ids = batch.input_ids[:, sl]
+        emb = self.embed_tokens(ids)
+        c = self._embed_frames(new_latents, is_input=True)
+        offset = n_prev_clean * (
+            new_latents.shape[1] // self.cfg.patch_size
+            * (new_latents.shape[2] // self.cfg.patch_size))
+        src = batch.clean_src[:, sl]
+        src = jnp.where(src >= offset, src - offset, -1)
+        emb = _scatter(emb, src, c)
+        q_meta = AttnMeta(*(x[:, sl] for x in batch.meta))
+        k_meta = AttnMeta(*(x[:, :old + new_len] for x in batch.meta))
+        _, new_kv = self.llm(emb, batch.pos_ids[:, sl], q_meta, k_meta,
+                             cache=cache,
+                             bias=self._maybe_bias(q_meta, k_meta))
+        return KVCache(jnp.concatenate([cache.k, new_kv.k], axis=2),
+                       jnp.concatenate([cache.v, new_kv.v], axis=2))
 
     def decode(self, batch: Batch, noisy_latents: jax.Array, t: jax.Array,
                cache: KVCache, tail_len: int,

@@ -133,7 +133,15 @@ def attend(q: jax.Array, k: jax.Array, v: jax.Array,
            bias: Optional[jax.Array] = None) -> jax.Array:
     """Metadata-masked attention dispatch. ``bias`` is an optional
     precomputed bf16 bias (ops.flash_attention.precompute_bias) shared
-    across layers/steps; the dense fallback derives its own."""
+    across layers/steps, or a ``DecodeMask`` (columnar per-key rank — the
+    zero-bias-traffic decode kernel); the dense fallback derives its own."""
+    from .flash_attention import DecodeMask
+    if isinstance(bias, DecodeMask):
+        from .flash_attention import (flash_attention_supported,
+                                      flash_mha_decode)
+        if impl in ("auto", "pallas") and flash_attention_supported(q, k, v):
+            return flash_mha_decode(q, k, v, bias)
+        bias = None  # fall through: derive the dense bias from metadata
     if impl in ("auto", "pallas"):
         try:
             from .flash_attention import (flash_attention_supported,

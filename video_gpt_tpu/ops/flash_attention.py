@@ -34,7 +34,7 @@ differentiable head-chunked jnp path (ops.attention.mha_chunked).
 from __future__ import annotations
 
 import functools
-from typing import Optional
+from typing import NamedTuple, Optional
 
 import jax
 import jax.numpy as jnp
@@ -322,6 +322,109 @@ def _flash_bwd_rule(block_q, res, do):
 
 
 flash_mha_biased.defvjp(_flash_fwd_rule, _flash_bwd_rule)
+
+
+def _decode_kernel(qoff_ref, rank_ref, q_ref, k_ref, v_ref, o_ref, *,
+                   kscale: float):
+    """Decode-step kernel: the frame-block mask collapses to a per-key rank
+    (``visible(q,k) = q_off(q) >= rank(k)``, see :func:`decode_rank`) — one
+    VPU compare per element and ZERO bias HBM traffic (the bias-mode kernel
+    streams ~Lq*Lk bf16 per head per layer, ~100ms/step at flagship decode
+    shapes). Softmax normalisation divides the [bq, D] output instead of the
+    [bq, Lk] probabilities (one fewer full VPU pass) and runs on exp2 with
+    scale*log2(e) folded into the score scale."""
+    q = q_ref[0, 0]                    # [bq, Dp]
+    k = k_ref[0, 0]                    # [Lkp, Dp]
+    v = v_ref[0, 0]
+    s = jax.lax.dot_general(
+        q, k, (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32) * kscale
+    qoff = qoff_ref[0, 0][:, None]     # [bq, 1] int32
+    rank = rank_ref[0, 0][None, :]     # [1, Lkp] int32
+    s = jnp.where(qoff >= rank, s, -1e30)
+    m = jnp.max(s, axis=-1, keepdims=True)
+    p = jnp.exp2(s - m)
+    l = jnp.sum(p, axis=-1, keepdims=True)
+    acc = jnp.dot(p.astype(v.dtype), v,
+                  preferred_element_type=jnp.float32)
+    o_ref[0, 0] = (acc / l).astype(o_ref.dtype)
+
+
+class DecodeMask(NamedTuple):
+    """Columnar decode mask: ``visible(q,k) = q_off[q] >= rank[k]``.
+
+    Valid when every tail query shares one noisy frame-block and every key is
+    either visible to the whole tail, never visible, or a same-block noisy
+    key gated by its role — exactly the inference decode step (the host-side
+    predicate is :func:`video_gpt_tpu.layout.decode_rank`)."""
+
+    rank: jax.Array   # [B, Lk] int32
+    q_off: jax.Array  # [B, Lq] int32
+
+
+def flash_mha_decode(q, k, v, mask: DecodeMask,
+                     block_q: Optional[int] = None,
+                     interpret: bool = False) -> jax.Array:
+    """Resident flash attention for the inference decode step (fwd-only).
+
+    q [B,Lq,H,D], k/v [B,Lk,Hkv,D] -> [B,Lq,H,D]. Grid (B, H, q-blocks):
+    K/V stay VMEM-resident across each head's q sweep; the rank vector is
+    ~Lk int32 revisited per batch row. No [Lq, Lk] bias exists anywhere."""
+    b, lq, h, d = q.shape
+    lk, hkv = k.shape[1], k.shape[2]
+    if block_q is None:
+        block_q = _fwd_block_q(lq, lk)
+    kscale = d ** -0.5 * 1.4426950408889634  # scale * log2(e)
+    dp = _round_up(d, 128)
+    block_q = min(block_q, _round_up(lq, 8))
+    lqp = _round_up(lq, block_q)
+    lkp = _round_up(lk, 128)
+    group = h // hkv
+
+    qt = jnp.pad(q.transpose(0, 2, 1, 3),
+                 ((0, 0), (0, 0), (0, lqp - lq), (0, dp - d)))
+    kt = jnp.pad(k.transpose(0, 2, 1, 3),
+                 ((0, 0), (0, 0), (0, lkp - lk), (0, dp - d)))
+    vt = jnp.pad(v.transpose(0, 2, 1, 3),
+                 ((0, 0), (0, 0), (0, lkp - lk), (0, dp - d)))
+    # padded keys never visible; padded queries see everything (rows cropped)
+    rank = jnp.pad(mask.rank, ((0, 0), (0, lkp - lk)),
+                   constant_values=2**30)[:, None, :]
+    qoff = jnp.pad(mask.q_off, ((0, 0), (0, lqp - lq)),
+                   constant_values=2**30)[:, None, :]
+
+    grid = (b, h, lqp // block_q)
+    out = pl.pallas_call(
+        functools.partial(_decode_kernel, kscale=kscale),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, 1, block_q), lambda bi, hi, qi: (bi, 0, qi),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, lkp), lambda bi, hi, qi: (bi, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, block_q, dp),
+                         lambda bi, hi, qi: (bi, hi, qi, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, lkp, dp),
+                         lambda bi, hi, qi: (bi, hi // group, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, lkp, dp),
+                         lambda bi, hi, qi: (bi, hi // group, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, 1, block_q, dp),
+                               lambda bi, hi, qi: (bi, hi, qi, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((b, h, lqp, dp), q.dtype),
+        cost_estimate=pl.CostEstimate(
+            flops=4 * b * h * lqp * lkp * dp,
+            bytes_accessed=(qt.size + kt.size + vt.size
+                            + b * h * lqp * dp) * qt.dtype.itemsize,
+            transcendentals=b * h * lqp * lkp,
+        ),
+        interpret=interpret or INTERPRET,
+    )(qoff, rank, qt, kt, vt)
+    return out[:, :, :lq, :d].transpose(0, 2, 1, 3)
 
 
 def _stream_kernel(bias_ref, q_ref, k_ref, v_ref, o_ref,

@@ -16,7 +16,7 @@ Semantics preserved exactly:
 """
 from __future__ import annotations
 
-from typing import Callable, Optional
+from typing import Callable, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -76,6 +76,47 @@ def sample(
         else:  # 'v': CFG applied on the raw velocity prediction
             # (LVM/model.py:554-562, OmniGen/model.py:359-372)
             v = guide(pred) if use_cfg else pred
+        return (zf + (sigma_next - sigma) * v).astype(z.dtype), None
+
+    z, _ = jax.lax.scan(step, z0, jnp.arange(cfg.num_steps))
+    return z
+
+
+def sample_separate_cfg(
+    z0: jax.Array,
+    denoise_pair_fn: Callable[[jax.Array, jax.Array],
+                              Tuple[jax.Array, jax.Array]],
+    cfg: SchedulerConfig,
+    cfg_scale: float,
+) -> jax.Array:
+    """Euler ODE with separate-CFG evaluation (OmniGen/model.py:376-402).
+
+    Unlike :func:`sample` with ``use_cfg=True`` — where the CFG pair rides as
+    one padded batch and every step pays attention/MLP over the uncond row's
+    pad tokens — here ``denoise_pair_fn(z, t) -> (cond, uncond)`` runs the two
+    contexts at their NATURAL lengths. Numerically identical to the padded
+    pair (guidance is affine in the prediction, so guiding x1-predictions and
+    guiding velocities commute).
+
+    z0: [N, hl, wl, C] — single copy, no duplicated halves.
+    """
+    sigmas = jnp.asarray(sigma_schedule(cfg.num_steps,
+                                        cfg.time_shifting_factor,
+                                        cfg.begin_time))
+
+    def step(z, i):
+        sigma = sigmas[i]
+        sigma_next = sigmas[i + 1]
+        t = jnp.full((z.shape[0],), sigma, z.dtype)
+        cond, uncond = denoise_pair_fn(z, t)
+        pred = (uncond.astype(jnp.float32)
+                + cfg_scale * (cond.astype(jnp.float32)
+                               - uncond.astype(jnp.float32)))
+        zf = z.astype(jnp.float32)
+        if cfg.prediction_type == "x1":
+            v = (pred - zf) / (1.0 - sigma)
+        else:
+            v = pred
         return (zf + (sigma_next - sigma) * v).astype(z.dtype), None
 
     z, _ = jax.lax.scan(step, z0, jnp.arange(cfg.num_steps))
