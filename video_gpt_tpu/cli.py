@@ -262,6 +262,68 @@ def cmd_generate_image(args):
     print(f"saved {args.output}")
 
 
+def cmd_train_image(args):
+    """Image-generation (OmniGen-ancestor) training: json dataset with
+    condition dropout, velocity target (OmniGen/train_helper/data.py:19-110,
+    loss.py:40-45)."""
+    from .config import TrainConfig
+    from .models.vae import VAEConfig
+    from .training.image_trainer import ImageGenTrainer
+    from .utils.cache import enable_compilation_cache
+
+    enable_compilation_cache()
+    cfg = TrainConfig(
+        batch_size_per_device=args.batch_size_per_device,
+        lr=args.lr,
+        results_dir=args.results_dir,
+        log_every=args.log_every,
+        ckpt_every=args.ckpt_every,
+        mixed_precision=args.mixed_precision,
+        use_ema=args.use_ema,
+        auto_resume=not args.no_auto_resume,
+        max_input_length_limit=args.max_input_length_limit,
+    )
+    vae_cfg = VAEConfig.tiny() if args.tiny_model else VAEConfig()
+    vae_params = None
+    if args.vae_ckpt:
+        from .models.vae import vae_params_from_diffusers
+        from .utils.torch_import import load_reference_checkpoint
+        vae_params = {"params": vae_params_from_diffusers(
+            load_reference_checkpoint(args.vae_ckpt), vae_cfg)}
+    if args.tokenizer:
+        from transformers import AutoTokenizer
+        tokenizer = AutoTokenizer.from_pretrained(args.tokenizer)
+    else:
+        class _Stub:
+            class _Out:
+                def __init__(self, ids):
+                    self.input_ids = ids
+
+            def __call__(self, text):
+                return self._Out([100 + (hash(w) % 1000)
+                                  for w in text.split()])
+
+        tokenizer = _Stub()
+        print("WARNING: no --tokenizer; hashing words (smoke run only)")
+    writer = None
+    if args.report_to == "tensorboard":
+        try:
+            from tensorboardX import SummaryWriter
+            writer = SummaryWriter(os.path.join(args.results_dir,
+                                                "tensorboard_log"))
+        except Exception:
+            pass
+    trainer = ImageGenTrainer(
+        _model_cfg(args), cfg, args.json_file, args.image_root, tokenizer,
+        output_size=(args.height, args.width),
+        input_size=((args.input_height, args.input_width)
+                    if args.input_height else None),
+        condition_dropout_prob=args.condition_dropout_prob,
+        max_input_images=args.max_input_images,
+        vae_cfg=vae_cfg, vae_params=vae_params, seed=args.seed)
+    trainer.run(args.max_steps, log_writer=writer)
+
+
 def cmd_export(args):
     """Export an orbax training checkpoint to the reference's safetensors
     layout (loadable by LVM.from_pretrained, LVM/model.py:196-211)."""
@@ -383,6 +445,38 @@ def build_parser() -> argparse.ArgumentParser:
     gi.add_argument("--tiny_model", action="store_true")
     gi.add_argument("--seed", type=int, default=None)
     gi.set_defaults(func=cmd_generate_image)
+
+    ti = sub.add_parser("train-image",
+                        help="image-generation training (json dataset + "
+                             "condition dropout, velocity target)")
+    ti.add_argument("--json_file", type=str, required=True,
+                    help="json/jsonl with instruction/input_images/"
+                         "output_image records")
+    ti.add_argument("--image_root", type=str, default=None)
+    ti.add_argument("--tokenizer", type=str, default=None)
+    ti.add_argument("--height", type=int, default=512)
+    ti.add_argument("--width", type=int, default=512)
+    ti.add_argument("--input_height", type=int, default=None)
+    ti.add_argument("--input_width", type=int, default=None)
+    ti.add_argument("--condition_dropout_prob", type=float, default=0.1)
+    ti.add_argument("--max_input_images", type=int, default=3)
+    ti.add_argument("--max_input_length_limit", type=int, default=18000)
+    ti.add_argument("--batch_size_per_device", type=int, default=1)
+    ti.add_argument("--lr", type=float, default=1e-4)
+    ti.add_argument("--max_steps", type=int, default=100000)
+    ti.add_argument("--results_dir", type=str, default="results_image")
+    ti.add_argument("--log_every", type=int, default=100)
+    ti.add_argument("--ckpt_every", type=int, default=1000)
+    ti.add_argument("--mixed_precision", default="bf16",
+                    choices=["bf16", "no"])
+    ti.add_argument("--use_ema", action="store_true")
+    ti.add_argument("--no_auto_resume", action="store_true")
+    ti.add_argument("--vae_ckpt", type=str, default=None)
+    ti.add_argument("--tiny_model", action="store_true")
+    ti.add_argument("--report_to", default="none",
+                    choices=["none", "tensorboard"])
+    ti.add_argument("--seed", type=int, default=0)
+    ti.set_defaults(func=cmd_train_image)
 
     e = sub.add_parser("export", help="orbax checkpoint -> reference-format "
                                       "safetensors")

@@ -55,14 +55,20 @@ class TextRow:
 
 def single_shot_layout(rows: Sequence[TextRow], n_out: int, n_region: int,
                        pad_to_multiple: int = 1,
+                       pad_to: Optional[int] = None,
                        token_ids: TokenIds = DEFAULT_TOKEN_IDS
                        ) -> SequenceLayout:
     """Layout for ``[pad][text(+images)][TIME][out image]`` rows, matching
     LVM/processor.py:432-440 (positions), 536-573 (mask) and 776-781
     (bidirectional input-image regions). All input-image regions must have
-    ``n_region`` tokens and all rows share ``n_out`` output tokens."""
+    ``n_region`` tokens and all rows share ``n_out`` output tokens.
+    ``pad_to`` fixes the total length (shape bucketing for a jitted train
+    step, like layout.build_layout)."""
     B = len(rows)
     max_l = max(len(r.input_ids) for r in rows) + n_out + 1
+    if pad_to is not None:
+        assert pad_to >= max_l, (pad_to, max_l)
+        max_l = pad_to
     if max_l % pad_to_multiple:
         max_l += pad_to_multiple - max_l % pad_to_multiple
 

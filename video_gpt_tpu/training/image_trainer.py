@@ -1,0 +1,169 @@
+"""Training loop for the image-generation (OmniGen ancestor) family.
+
+Counterpart of OmniGen/train.py semantics reachable through the reference's
+train_helper (json dataset + condition dropout + velocity target,
+OmniGen/train_helper/data.py:19-110, OmniGen/train_helper/loss.py:40-45),
+sharing this repo's video-training machinery: optax AdamW/EMA/clip
+(train_state.py), orbax checkpoints, prefetcher.
+
+One jitted program per step: VAE-encode output+input images -> velocity
+flow-matching loss -> backward -> AdamW -> EMA.
+"""
+from __future__ import annotations
+
+import os
+import time
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..config import ModelConfig, TrainConfig
+from ..data.image_text import (ImageGenTrainBatch, ImageTextDataset,
+                               collate_image_gen)
+from ..image_gen import ImageGenProcessor
+from ..models.vae import AutoencoderKL, VAEConfig
+from ..models.video_gpt import VideoGPT
+from ..utils import checkpoint as ckpt
+from .train_state import TrainState, init_train_state, make_train_step
+
+
+class ImageGenTrainer:
+    def __init__(
+        self,
+        model_cfg: ModelConfig,
+        train_cfg: TrainConfig,
+        json_file: str,
+        image_root: Optional[str],
+        tokenizer,
+        output_size: Tuple[int, int] = (512, 512),
+        input_size: Optional[Tuple[int, int]] = None,
+        condition_dropout_prob: float = 0.1,
+        max_input_images: int = 3,
+        pad_to: Optional[int] = None,
+        vae_cfg: VAEConfig = VAEConfig(),
+        vae_params=None,
+        init_params=None,
+        seed: int = 0,
+    ):
+        self.model_cfg = model_cfg
+        self.cfg = train_cfg
+        dtype = jnp.bfloat16 if train_cfg.mixed_precision == "bf16" \
+            else jnp.float32
+        overrides = {}
+        if train_cfg.gradient_checkpointing and not model_cfg.remat:
+            overrides["remat"] = True
+        if overrides:
+            model_cfg = ModelConfig(**{**model_cfg.__dict__, **overrides})
+            self.model_cfg = model_cfg
+        self.model = VideoGPT(model_cfg, dtype=dtype, train_init=True)
+        self.vae = AutoencoderKL(vae_cfg, dtype=dtype)
+        self.processor = ImageGenProcessor(tokenizer,
+                                           token_ids=model_cfg.token_ids)
+        self.dataset = ImageTextDataset(
+            json_file, image_root, self.processor,
+            output_size=output_size, input_size=input_size,
+            condition_dropout_prob=condition_dropout_prob,
+            max_input_length_limit=train_cfg.max_input_length_limit,
+            seed=seed,
+            shard_index=jax.process_index(),
+            shard_count=jax.process_count(),
+        )
+        self.output_size = output_size
+        self.input_size = input_size or output_size
+        self.max_input_images = max_input_images
+        self.rng = jax.random.PRNGKey(seed)
+        self._vae_params = vae_params
+        self._init_params = init_params
+        # static token budget: text allowance + worst-case image regions +
+        # TIME + output tokens (one compiled step per signature)
+        n_out = (output_size[0] // 16) * (output_size[1] // 16)
+        n_region = ((self.input_size[0] // 16)
+                    * (self.input_size[1] // 16))
+        self.pad_to = pad_to if pad_to is not None else min(
+            train_cfg.max_input_length_limit,
+            512 + max_input_images * n_region + 1 + n_out)
+
+    def _collate(self, idx: int) -> ImageGenTrainBatch:
+        b = self.cfg.batch_size_per_device
+        samples = [self.dataset.sample((idx * b + i) % len(self.dataset))
+                   for i in range(b)]
+        return collate_image_gen(samples, self.pad_to, self.max_input_images,
+                                 token_ids=self.model_cfg.token_ids)
+
+    def _build(self, tb: ImageGenTrainBatch):
+        h, w = self.output_size
+        f = self.vae.cfg.downsample_factor
+        c = self.model_cfg.in_channels
+        if self._vae_params is None:
+            self._vae_params = self.vae.init(
+                jax.random.PRNGKey(1), jnp.zeros((1, h, w, 3)),
+                jax.random.PRNGKey(2), True)
+        if self._init_params is None:
+            b = tb.out_pixels.shape[0]
+            nc = tb.in_pixels.shape[0]
+            z = jnp.zeros((b, h // f, w // f, c))
+            cl = jnp.zeros((nc, self.input_size[0] // f,
+                            self.input_size[1] // f, c))
+            self._init_params = self.model.init(
+                jax.random.PRNGKey(3), tb.inputs.batch, z,
+                jnp.zeros((b,)), cl)
+        state = init_train_state(self.model, self._init_params, self.cfg)
+        # image gen: ONE output image per row -> one block per row;
+        # velocity target (OmniGen/train_helper/loss.py:40-45)
+        inner = make_train_step(self.model, self.cfg, max_blocks=1,
+                                prediction_target="velocity")
+        vae = self.vae
+
+        def full_step(state: TrainState, vae_params, rng, tb):
+            r_out, r_in, r_loss = jax.random.split(rng, 3)
+            x1 = vae.apply(vae_params, tb.out_pixels, r_out,
+                           method=AutoencoderKL.encode)
+            clean = vae.apply(vae_params, tb.in_pixels, r_in,
+                              method=AutoencoderKL.encode)
+            inputs = tb.inputs._replace(
+                x1=jax.lax.stop_gradient(x1),
+                clean_latents=jax.lax.stop_gradient(clean))
+            return inner(state, r_loss, inputs)
+
+        self._jit_step = jax.jit(full_step, donate_argnums=(0,))
+        return state
+
+    def run(self, max_steps: int, log_writer=None) -> TrainState:
+        cfg = self.cfg
+        os.makedirs(cfg.results_dir, exist_ok=True)
+        ckpt_dir = os.path.join(cfg.results_dir, "checkpoints")
+        tb = self._collate(0)
+        state = self._build(tb)
+        start_step = 0
+        if cfg.auto_resume and ckpt.latest_step(ckpt_dir) is not None:
+            state, start_step = ckpt.restore_checkpoint(ckpt_dir, state)
+            print(f"resumed from step {start_step}")
+
+        from ..data.prefetch import Prefetcher
+        prefetcher = Prefetcher(self._collate, depth=2, workers=1,
+                                start=start_step)
+        t0, running = time.time(), []
+        try:
+            for step_idx in range(start_step, max_steps):
+                tb = prefetcher.get()
+                r = jax.random.fold_in(self.rng, step_idx)
+                state, metrics = self._jit_step(state, self._vae_params, r,
+                                                tb)
+                running.append(metrics["loss"])
+                if (step_idx + 1) % cfg.log_every == 0 \
+                        or step_idx == start_step:
+                    sps = len(running) / max(time.time() - t0, 1e-9)
+                    mean_loss = float(np.mean([float(x) for x in running]))
+                    print(f"step {step_idx + 1}: loss={mean_loss:.4f} "
+                          f"steps/sec={sps:.3f}", flush=True)
+                    if log_writer is not None:
+                        log_writer.add_scalar("train/loss", mean_loss,
+                                              step_idx + 1)
+                    running, t0 = [], time.time()
+                if (step_idx + 1) % cfg.ckpt_every == 0:
+                    ckpt.save_checkpoint(ckpt_dir, step_idx + 1, state)
+        finally:
+            prefetcher.close()
+        return state

@@ -100,9 +100,13 @@ def make_lora_train_step(model: VideoGPT, base_params, cfg: TrainConfig,
     return step
 
 
-def make_train_step(model: VideoGPT, cfg: TrainConfig, max_blocks: int
-                    ) -> Callable:
-    """Jittable (state, rng, inputs) -> (state, metrics)."""
+def make_train_step(model: VideoGPT, cfg: TrainConfig, max_blocks: int,
+                    prediction_target: str = "x1") -> Callable:
+    """Jittable (state, rng, inputs) -> (state, metrics).
+
+    ``prediction_target='velocity'`` selects the OmniGen-family target
+    ``ut = x1 - x0`` (OmniGen/train_helper/loss.py:40-45) for the image
+    generation path; the video path trains on x1-prediction."""
     tx = make_optimizer(cfg)
 
     def step(state: TrainState, rng: jax.Array, inputs: LossInputs):
@@ -110,7 +114,8 @@ def make_train_step(model: VideoGPT, cfg: TrainConfig, max_blocks: int
             return training_loss(
                 model, {"params": p}, rng, inputs, max_blocks=max_blocks,
                 input_noise=cfg.input_noise,
-                input_output_return=cfg.input_output_return)
+                input_output_return=cfg.input_output_return,
+                prediction_target=prediction_target)
 
         inner = state.params["params"]
         (loss, aux), grads = jax.value_and_grad(loss_fn, has_aux=True)(inner)
