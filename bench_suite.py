@@ -1,0 +1,351 @@
+"""Benchmark suite: the BASELINE.json configs beyond the flagship bench.py.
+
+One JSON line per config (same shape as bench.py's). Run all:
+    python bench_suite.py
+or a subset:
+    python bench_suite.py batched_inference long_rollout train_stage1 \
+        train_stage4 lora_stage4
+
+Configs (BASELINE.json "configs"):
+- batched_inference: every vids/*.mp4 through the FULL pipeline (video read
+  -> VAE encode -> prefill -> denoise scan -> VAE decode -> PIL), 8-frame
+  condition, 16-frame clip, 10 steps, CFG.
+- long_rollout: autoregressive 24+24 frames with KV-cache growth across
+  blocks (block 1 extends the cache instead of re-prefilling).
+- train_stage1: stage-1-style diffusion train step (VAE encode + fwd + bwd +
+  AdamW) on a real video clip, 16 frames interleaved. Reduced depth
+  (NUM_LAYERS env, default 8): full-depth AdamW state exceeds one v5e's
+  HBM — the reference trains this under ZeRO-2 on 8 devices
+  (pretrain_stage1_nv.sh:19,50); per-layer cost is depth-invariant
+  (nn.scan), so tokens/s/layer transfers.
+- train_stage4: stage-4 long-context train step (80-frame frame-block,
+  ~35.5k tokens) through the streaming Pallas fwd+bwd kernels, same
+  reduced depth.
+- lora_stage4: FULL-SCALE (3.8B, 32-layer) stage-4 LoRA fine-tune step on
+  one chip — frozen bf16 base + LoRA grads + remat (the single-chip
+  downstream fine-tune workload from BASELINE.json).
+
+Weights are zeros/random — throughput metrics only.
+"""
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from video_gpt_tpu.utils.cache import enable_compilation_cache
+
+enable_compilation_cache()
+
+VIDS = os.environ.get("BENCH_VIDS", "/root/reference/vids")
+STEPS = int(os.environ.get("BENCH_STEPS", 10))
+H, W = 176, 320
+# 4 layers: f32 AdamW master state + the f32 nn.scan grad stacks for 8+
+# layers exceed one v5e's 15.75G HBM (the reference trains this under
+# ZeRO-2 on 8 devices); per-layer cost is depth-invariant under nn.scan.
+NUM_LAYERS = int(os.environ.get("NUM_LAYERS", 4))
+
+
+def _emit(payload):
+    print(json.dumps(payload), flush=True)
+
+
+def _median(xs):
+    xs = sorted(xs)
+    return xs[len(xs) // 2]
+
+
+def _full_pipeline(dtype=jnp.bfloat16):
+    from video_gpt_tpu.config import ModelConfig
+    from video_gpt_tpu.layout import frame_block_inference_layout
+    from video_gpt_tpu.models.vae import AutoencoderKL, VAEConfig
+    from video_gpt_tpu.models.video_gpt import Batch, VideoGPT
+    from video_gpt_tpu.sampling.pipeline import VideoGPTPipeline
+
+    cfg = ModelConfig()
+    model = VideoGPT(cfg, dtype=dtype)
+    vae_cfg = VAEConfig()
+    vae = AutoencoderKL(vae_cfg, dtype=dtype)
+    hl, wl = H // 8, W // 8
+    lay = frame_block_inference_layout(1, 1, (H // 16) * (W // 16),
+                                       use_cfg=False)
+    shapes = jax.eval_shape(lambda: model.init(
+        jax.random.PRNGKey(0), Batch.from_layout(lay),
+        jnp.zeros((1, hl, wl, 4), dtype), jnp.zeros((1,), dtype),
+        jnp.zeros((1, hl, wl, 4), dtype)))
+    params = jax.tree.map(lambda s: jnp.zeros(
+        s.shape, dtype if jnp.issubdtype(s.dtype, jnp.floating)
+        else s.dtype), shapes)
+    vshapes = jax.eval_shape(lambda: vae.init(
+        jax.random.PRNGKey(1), jnp.zeros((1, H, W, 3), dtype),
+        jax.random.PRNGKey(2), True))
+    vparams = jax.tree.map(lambda s: jnp.zeros(
+        s.shape, dtype if jnp.issubdtype(s.dtype, jnp.floating)
+        else s.dtype), vshapes)
+    return VideoGPTPipeline(model=model, params=params, vae=vae,
+                            vae_params=vparams)
+
+
+def _read_frames(path, count, stride=4):
+    import cv2
+    cap = cv2.VideoCapture(path)
+    frames = []
+    try:
+        total = int(cap.get(cv2.CAP_PROP_FRAME_COUNT))
+        for i in range(count):
+            cap.set(cv2.CAP_PROP_POS_FRAMES, (i * stride) % max(total, 1))
+            ok, f = cap.read()
+            if not ok:
+                raise RuntimeError(f"read failed: {path}")
+            frames.append(cv2.cvtColor(f, cv2.COLOR_BGR2RGB))
+    finally:
+        cap.release()
+    return frames
+
+
+def bench_batched_inference():
+    """Every vids/*.mp4 through the full pipeline (processor + VAE + sampler
+    throughput, BASELINE.json config 2)."""
+    from video_gpt_tpu.data.video import list_videos
+    pipe = _full_pipeline()
+    videos = sorted(list_videos(VIDS))
+    assert videos, VIDS
+    n_gen = 16
+
+    def run(path):
+        frames = _read_frames(path, 8)
+        t0 = time.perf_counter()
+        out = pipe.generate(frames, gen_nums=[n_gen],
+                            num_inference_steps=STEPS,
+                            img_guidance_scale=1.5,
+                            max_input_image_size=W, seed=0)
+        return time.perf_counter() - t0, len(out)
+
+    for path in videos:  # warm every per-signature jit (aspect ratios vary)
+        run(path)
+    times = []
+    for path in videos:
+        dt, _ = run(path)
+        times.append(dt)
+    total = sum(times)
+    _emit({
+        "metric": f"batched inference over {len(videos)} videos "
+                  f"(full pipeline incl. video read + VAE + PIL, "
+                  f"16-frame clips, {STEPS} steps, CFG)",
+        "value": round(len(videos) * n_gen / total, 3),
+        "unit": "frames/s/chip",
+        "per_video_s": [round(t, 3) for t in times],
+    })
+
+
+def bench_long_rollout():
+    """Autoregressive 24+24 rollout with cross-block KV growth
+    (BASELINE.json config 3)."""
+    pipe = _full_pipeline()
+    frames = _read_frames(os.path.join(VIDS, "plane.mp4"), 8)
+    kw = dict(gen_nums=[24, 24], num_inference_steps=STEPS,
+              img_guidance_scale=1.5, max_input_image_size=W,
+              max_frame_window=80, clean_image_noise_level=0.0, seed=0)
+    t0 = time.perf_counter()
+    out = pipe.generate(frames, **kw)
+    compile_and_run = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    out = pipe.generate(frames, **kw)
+    warm = time.perf_counter() - t0
+    keys = list(pipe.__dict__.get("_block_fns", {}))
+    used_extension = any(k[0] == "extend" for k in keys)
+    _emit({
+        "metric": "long-horizon rollout 24+24 frames (8-frame condition, "
+                  f"{STEPS} steps, CFG, window 80, cross-block KV cache)",
+        "value": round(48 / warm, 3),
+        "unit": "frames/s/chip",
+        "warm_rollout_s": round(warm, 3),
+        "first_rollout_incl_compile_s": round(compile_and_run, 3),
+        "block1_extends_cache": used_extension,
+        "frames_emitted": len(out),
+    })
+
+
+def _train_step_bench(stage, frame_num, num_layers, label):
+    from video_gpt_tpu.config import ModelConfig, stage_config
+    from video_gpt_tpu.data.video import VideoClipDataset
+    from video_gpt_tpu.layout import tokens_per_frame
+    from video_gpt_tpu.models.vae import AutoencoderKL, VAEConfig
+    from video_gpt_tpu.models.video_gpt import VideoGPT
+    from video_gpt_tpu.training.data import collate
+    from video_gpt_tpu.training.train_state import (init_train_state,
+                                                    make_train_step)
+
+    tcfg = stage_config(stage, frame_num=frame_num,
+                        max_input_length_limit=1_280_000)
+    mcfg = ModelConfig(num_layers=num_layers, remat=True)
+    model = VideoGPT(mcfg, dtype=jnp.bfloat16, train_init=True)
+    vae = AutoencoderKL(VAEConfig(), dtype=jnp.bfloat16)
+
+    ds = VideoClipDataset(VIDS, frame_num=frame_num,
+                          frame_interval=1 if stage >= 4 else 4,
+                          flexible_interval=tcfg.flexible_interval,
+                          interval_bound=tcfg.interval_bound,
+                          target_resolution=(H, W),
+                          scheme=tcfg.frame_block_scheme, seed=0)
+    n_img = tokens_per_frame(H, W)
+    tb = collate([ds.sample(0)], n_img)
+    length = tb.inputs.batch.input_ids.shape[1]
+
+    hl, wl = H // 8, W // 8
+    vparams = jax.eval_shape(lambda: vae.init(
+        jax.random.PRNGKey(1), jnp.zeros((1, H, W, 3), jnp.bfloat16),
+        jax.random.PRNGKey(2), True))
+    vparams = jax.tree.map(lambda s: jnp.zeros(
+        s.shape, jnp.bfloat16 if jnp.issubdtype(s.dtype, jnp.floating)
+        else s.dtype), vparams)
+    nn_, nc = tb.noisy_sel.shape[0], tb.clean_sel.shape[0]
+    params = model.init(jax.random.PRNGKey(3), tb.inputs.batch,
+                        jnp.zeros((nn_, hl, wl, 4)), jnp.zeros((nn_,)),
+                        jnp.zeros((nc, hl, wl, 4)))
+    state = init_train_state(model, params, tcfg)
+    inner = make_train_step(model, tcfg, max_blocks=frame_num)
+
+    def full_step(state, vparams, rng, tb):
+        r_enc, r_loss = jax.random.split(rng)
+        latents = vae.apply(vparams, tb.pixels, r_enc,
+                            method=AutoencoderKL.encode)
+        latents = jax.lax.stop_gradient(latents)
+        inputs = tb.inputs._replace(
+            x1=jnp.take(latents, tb.noisy_sel, axis=0),
+            clean_latents=jnp.take(latents, tb.clean_sel, axis=0))
+        return inner(state, r_loss, inputs)
+
+    step = jax.jit(full_step, donate_argnums=(0,))
+    state, m = step(state, vparams, jax.random.PRNGKey(0), tb)
+    jax.block_until_ready(m["loss"])  # compile + step 0
+    times = []
+    for i in range(3):
+        t0 = time.perf_counter()
+        state, m = step(state, vparams, jax.random.fold_in(
+            jax.random.PRNGKey(1), i), tb)
+        jax.block_until_ready(m["loss"])
+        times.append(time.perf_counter() - t0)
+    dt = _median(times)
+    _emit({
+        "metric": label + f" ({length} tokens, {num_layers} layers, "
+                  "VAE encode + fwd + bwd + AdamW, bf16, remat)",
+        "value": round(length / dt, 1),
+        "unit": "tokens/s/chip",
+        "step_s": round(dt, 4),
+        "tokens_s_per_layer": round(length / dt * num_layers, 1),
+        "loss_finite": bool(np.isfinite(float(m["loss"]))),
+    })
+
+
+def bench_train_stage1():
+    _train_step_bench(1, 16, NUM_LAYERS,
+                      "stage-1 train step, 16-frame interleaved clip")
+
+
+def bench_train_stage4():
+    _train_step_bench(4, 80, NUM_LAYERS,
+                      "stage-4 long-context train step, 80-frame "
+                      "frame-block clip")
+
+
+def bench_lora_stage4():
+    """Full-scale (32-layer, 3.8B) stage-4 LoRA fine-tune step on ONE chip:
+    frozen bf16 base + LoRA adapters + remat."""
+    from video_gpt_tpu.config import ModelConfig, stage_config
+    from video_gpt_tpu.data.video import VideoClipDataset
+    from video_gpt_tpu.layout import tokens_per_frame
+    from video_gpt_tpu.models.video_gpt import VideoGPT
+    from video_gpt_tpu.training.data import collate
+    from video_gpt_tpu.training.lora import init_lora
+    from video_gpt_tpu.training.train_state import (TrainState,
+                                                    make_lora_train_step,
+                                                    make_optimizer)
+
+    # 64 frames (~28.4k tokens): at 80 frames the 32 per-layer scan-carry
+    # checkpoints ([1,L,3072] bf16 each) plus the 7.6G bf16 base exceed one
+    # v5e's HBM at runtime; 64 leaves ~2G headroom
+    frame_num = int(os.environ.get("LORA_FRAMES", 64))
+    tcfg = stage_config(4, frame_num=frame_num, use_lora=True,
+                        max_input_length_limit=1_280_000)
+    mcfg = ModelConfig(remat=True)
+    model = VideoGPT(mcfg, dtype=jnp.bfloat16, train_init=True)
+    ds = VideoClipDataset(VIDS, frame_num=frame_num, frame_interval=1,
+                          flexible_interval=True, interval_bound=12,
+                          target_resolution=(H, W), scheme="frame_block",
+                          seed=0)
+    n_img = tokens_per_frame(H, W)
+    tb = collate([ds.sample(0)], n_img)
+    length = tb.inputs.batch.input_ids.shape[1]
+    hl, wl = H // 8, W // 8
+    nn_, nc = tb.noisy_sel.shape[0], tb.clean_sel.shape[0]
+
+    shapes = jax.eval_shape(lambda: model.init(
+        jax.random.PRNGKey(3), tb.inputs.batch,
+        jnp.zeros((nn_, hl, wl, 4), jnp.bfloat16),
+        jnp.zeros((nn_,), jnp.bfloat16),
+        jnp.zeros((nc, hl, wl, 4), jnp.bfloat16)))
+    base = jax.tree.map(lambda s: jnp.zeros(
+        s.shape, jnp.bfloat16 if jnp.issubdtype(s.dtype, jnp.floating)
+        else s.dtype), shapes)
+    lora = init_lora(base["params"], tcfg.lora_rank, jax.random.PRNGKey(4))
+    state = TrainState(step=jnp.zeros((), jnp.int32), params=lora,
+                       opt_state=make_optimizer(tcfg).init(lora),
+                       ema_params=None)
+    inner = make_lora_train_step(model, base, tcfg, max_blocks=frame_num)
+
+    # latents synthesized directly (full VAE + full model + opt would be
+    # the only piece that pushes past HBM; the VAE leg is measured in the
+    # stage benches above)
+    x1 = jax.random.normal(jax.random.PRNGKey(5), (nn_, hl, wl, 4),
+                           jnp.bfloat16)
+    clean = jax.random.normal(jax.random.PRNGKey(6), (nc, hl, wl, 4),
+                              jnp.bfloat16)
+    inputs = tb.inputs._replace(x1=x1, clean_latents=clean)
+
+    step = jax.jit(inner, donate_argnums=(0,))
+    state, m = step(state, jax.random.PRNGKey(0), inputs)
+    jax.block_until_ready(m["loss"])
+    times = []
+    for i in range(3):
+        t0 = time.perf_counter()
+        state, m = step(state, jax.random.fold_in(jax.random.PRNGKey(1), i),
+                        inputs)
+        jax.block_until_ready(m["loss"])
+        times.append(time.perf_counter() - t0)
+    dt = _median(times)
+    _emit({
+        "metric": f"stage-4 LoRA fine-tune step, FULL 3.8B model, one chip "
+                  f"({length} tokens, 80-frame frame-block, fwd+bwd+AdamW, "
+                  "bf16, remat)",
+        "value": round(length / dt, 1),
+        "unit": "tokens/s/chip",
+        "step_s": round(dt, 4),
+        "loss_finite": bool(np.isfinite(float(m["loss"]))),
+    })
+
+
+ALL = {
+    "batched_inference": bench_batched_inference,
+    "long_rollout": bench_long_rollout,
+    "train_stage1": bench_train_stage1,
+    "train_stage4": bench_train_stage4,
+    "lora_stage4": bench_lora_stage4,
+}
+
+
+def main():
+    names = sys.argv[1:] or list(ALL)
+    for name in names:
+        try:
+            ALL[name]()
+        except Exception as e:  # keep the suite going; report the failure
+            _emit({"metric": name, "error": f"{type(e).__name__}: {e}"})
+
+
+if __name__ == "__main__":
+    main()
