@@ -64,6 +64,40 @@ def test_autoregressive_rollout(pipe):
                for a, b in zip(out, out2))
 
 
+def test_vae_roundtrip_recycle(pipe):
+    """Reference recycled-frame parity mode (LVM/pipeline.py:491-498):
+    block-2 conditions come from re-encoding the decoded pixels. Block-1
+    output must be identical either way (the flag only changes what feeds
+    the NEXT block); block-2 output must differ."""
+    frames = _frames(2)
+    # the fixture's zero-init final layer makes every sampled latent exactly
+    # 0 (conditions can't influence the output); perturb the params so the
+    # model is non-degenerate
+    leaves, treedef = jax.tree.flatten(pipe.params)
+    rngs = jax.random.split(jax.random.PRNGKey(7), len(leaves))
+    leaves = [l + 0.02 * jax.random.normal(r, l.shape, l.dtype)
+              for l, r in zip(leaves, rngs)]
+    pipe = VideoGPTPipeline(model=pipe.model,
+                            params=jax.tree.unflatten(treedef, leaves),
+                            vae=pipe.vae, vae_params=pipe.vae_params)
+    kw = dict(gen_nums=[1, 1], num_inference_steps=2,
+              img_guidance_scale=1.5, max_input_image_size=48,
+              max_frame_window=4, seed=11)
+    base, base_lat = pipe.generate(frames, return_latents=True, **kw)
+    rt, rt_lat = pipe.generate(frames, vae_roundtrip_recycle=True,
+                               return_latents=True, **kw)
+    assert len(rt) == len(base) == 4
+    # block 1 identical either way (flag only changes what feeds block 2)
+    assert np.array_equal(np.asarray(base_lat[0]), np.asarray(rt_lat[0]))
+    # block 2 sees re-encoded conditions -> different latent
+    assert not np.array_equal(np.asarray(base_lat[1]), np.asarray(rt_lat[1]))
+    # deterministic under the flag
+    rt2, rt2_lat = pipe.generate(frames, vae_roundtrip_recycle=True,
+                                 return_latents=True, **kw)
+    assert all(np.array_equal(np.asarray(a), np.asarray(b))
+               for a, b in zip(rt_lat, rt2_lat))
+
+
 def test_no_cfg_and_latents(pipe):
     frames = _frames(2)
     out, lat = pipe.generate(frames, gen_nums=[1], num_inference_steps=2,

@@ -45,6 +45,35 @@ def test_phase_timer():
     assert t.counts["a"] == 2 and "a:" in t.summary()
 
 
+def test_orbax_direct_inference_restore(tmp_path):
+    """``generate --checkpoint_dir``: a training run feeds inference without
+    the safetensors round-trip, including the EMA weights."""
+    from video_gpt_tpu.cli import _restore_train_params
+    from video_gpt_tpu.config import TrainConfig
+    from video_gpt_tpu.training.train_state import init_train_state
+    from video_gpt_tpu.utils import checkpoint as ckpt
+
+    cfg = ModelConfig.tiny(attn_impl="reference")
+    model = VideoGPT(cfg, dtype=jnp.float32, train_init=True)
+    layout = build_layout([RowSpec((1, 1), "training")], 4)
+    params = model.init(jax.random.PRNGKey(5), Batch.from_layout(layout),
+                        jnp.zeros((2, 4, 4, 4)), jnp.zeros((2,)),
+                        jnp.zeros((1, 4, 4, 4)))
+    state = init_train_state(model, params, TrainConfig(use_ema=True))
+    # make EMA distinguishable from the live params
+    state = state._replace(ema_params=jax.tree.map(lambda x: x + 1.0,
+                                                   state.ema_params))
+    ckpt.save_checkpoint(str(tmp_path / "ckpts"), 3, state)
+
+    tree, step = _restore_train_params(str(tmp_path / "ckpts"), cfg,
+                                       ema=False)
+    assert step == 3
+    assert max_tree_diff(params, tree) == 0.0
+    ema_tree, _ = _restore_train_params(str(tmp_path / "ckpts"), cfg,
+                                        ema=True)
+    assert abs(max_tree_diff(params, ema_tree) - 1.0) < 1e-6
+
+
 def test_checkpoint_export_roundtrip(tmp_path):
     """orbax checkpoint -> reference safetensors -> importer round trip."""
     from video_gpt_tpu.config import TrainConfig

@@ -77,6 +77,59 @@ def cmd_train(args):
     trainer.run(args.max_steps, log_writer=writer)
 
 
+def _restore_train_params(checkpoint_dir, model_cfg, step=None, ema=False,
+                          input_head=False):
+    """Restore the (EMA) params of an orbax training checkpoint.
+
+    Shared by ``export`` and ``generate --checkpoint_dir`` so a training run
+    feeds inference DIRECTLY (reference: train->infer is direct, EMA copy at
+    train_x1_stage1:228,407) without a safetensors round-trip.
+    Returns ``({"params": tree}, step)``.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    from .config import TrainConfig
+    from .layout import RowSpec, build_layout
+    from .models.video_gpt import Batch, VideoGPT
+    from .training.train_state import init_train_state
+    from .utils import checkpoint as ckpt
+
+    model = VideoGPT(model_cfg, dtype=jnp.float32, train_init=True,
+                     input_head=input_head)
+    lay = build_layout([RowSpec((1, 1), "training")], 4)
+    z = jnp.zeros((2, 4, 4, model_cfg.in_channels))
+    cl = jnp.zeros((1, 4, 4, model_cfg.in_channels))
+    params = jax.eval_shape(
+        lambda: model.init(jax.random.PRNGKey(0), Batch.from_layout(lay), z,
+                           jnp.zeros((2,)), cl))
+    params = jax.tree.map(lambda s: jnp.zeros(s.shape, s.dtype), params)
+    # the checkpoint may or may not carry EMA params; probe both structures
+    err = None
+    for with_ema in ((True,) if ema else (True, False)):
+        state_like = init_train_state(model, params,
+                                      TrainConfig(use_ema=with_ema))
+        try:
+            state, step = ckpt.restore_checkpoint(checkpoint_dir, state_like,
+                                                  step=step)
+            break
+        except FileNotFoundError:
+            raise
+        except Exception as e:
+            err = e
+    else:
+        hint = ("the checkpoint's structure does not match (--ema given but "
+                "the run trained without EMA? wrong --step or model size? "
+                "run trained with --input_output_return but no "
+                "--input_head given?)")
+        raise SystemExit(f"restore failed: {hint}\n  orbax: "
+                         f"{type(err).__name__}: {str(err)[:200]}")
+    tree = state.ema_params if ema else state.params
+    if tree is None:
+        raise SystemExit("checkpoint has no EMA params; drop --ema")
+    return tree, step
+
+
 def cmd_generate(args):
     import cv2
     import jax
@@ -99,6 +152,16 @@ def cmd_generate(args):
                                          videogpt_params_from_torch)
         params = {"params": videogpt_params_from_torch(
             load_reference_checkpoint(args.model_ckpt), model_cfg)}
+    elif args.checkpoint_dir:
+        # orbax training run -> inference directly (no export round-trip)
+        tree, step = _restore_train_params(
+            args.checkpoint_dir, model_cfg, step=args.step, ema=args.ema,
+            input_head=args.input_head)
+        params = jax.tree.map(
+            lambda x: x.astype(dtype)
+            if jnp.issubdtype(x.dtype, jnp.floating) else x, tree)
+        print(f"restored training checkpoint step {step}"
+              f"{' (EMA)' if args.ema else ''} from {args.checkpoint_dir}")
     else:
         params = None
     if args.vae_ckpt:
@@ -173,6 +236,7 @@ def cmd_generate(args):
             clean_image_noise_level=args.clean_image_noise_level,
             prediction_type=args.prediction_type,
             seed=args.seed,
+            vae_roundtrip_recycle=args.vae_roundtrip_recycle,
         )
         for i, im in enumerate(images):
             im.save(os.path.join(args.save_dir, f"{k}_{i}.png"))
@@ -327,39 +391,12 @@ def cmd_train_image(args):
 def cmd_export(args):
     """Export an orbax training checkpoint to the reference's safetensors
     layout (loadable by LVM.from_pretrained, LVM/model.py:196-211)."""
-    import jax
-    import jax.numpy as jnp
-
-    from .config import ModelConfig
-    from .layout import RowSpec, build_layout
-    from .models.video_gpt import Batch, VideoGPT
-    from .training.train_state import TrainState, init_train_state
-    from .config import TrainConfig
-    from .utils import checkpoint as ckpt
     from .utils.torch_export import save_safetensors
 
     cfg = _model_cfg(args)
-    model = VideoGPT(cfg, dtype=jnp.float32, train_init=True)
-    lay = build_layout([RowSpec((1, 1), "training")], 4)
-    z = jnp.zeros((2, 4, 4, cfg.in_channels))
-    cl = jnp.zeros((1, 4, 4, cfg.in_channels))
-    params = model.init(jax.random.PRNGKey(0), Batch.from_layout(lay), z,
-                        jnp.zeros((2,)), cl)
-    state_like = init_train_state(
-        model, params, TrainConfig(use_ema=args.ema))
-    try:
-        state, step = ckpt.restore_checkpoint(args.checkpoint_dir,
-                                              state_like, step=args.step)
-    except FileNotFoundError:
-        raise
-    except Exception as e:
-        hint = ("the checkpoint's structure does not match (--ema given but "
-                "the run trained without EMA? wrong --step or model size?)")
-        raise SystemExit(f"restore failed: {hint}\n  orbax: "
-                         f"{type(e).__name__}: {str(e)[:200]}")
-    tree = state.ema_params if args.ema else state.params
-    if tree is None:
-        raise SystemExit("checkpoint has no EMA params; drop --ema")
+    tree, step = _restore_train_params(args.checkpoint_dir, cfg,
+                                       step=args.step, ema=args.ema,
+                                       input_head=args.input_head)
     save_safetensors(tree, cfg, args.output)
     print(f"exported step {step}{' (EMA)' if args.ema else ''} "
           f"to {args.output}")
@@ -411,7 +448,16 @@ def build_parser() -> argparse.ArgumentParser:
                    help="run every video in a directory "
                         "(reference driver behaviour)")
     g.add_argument("--save_dir", type=str, default="result/test/inference")
-    g.add_argument("--model_ckpt", type=str, default=None)
+    g.add_argument("--model_ckpt", type=str, default=None,
+                   help="reference-format torch/safetensors checkpoint")
+    g.add_argument("--checkpoint_dir", type=str, default=None,
+                   help="orbax training checkpoint dir (direct train->infer)")
+    g.add_argument("--step", type=int, default=None,
+                   help="orbax checkpoint step (default: latest)")
+    g.add_argument("--ema", action="store_true",
+                   help="use the EMA weights from --checkpoint_dir")
+    g.add_argument("--input_head", action="store_true",
+                   help="checkpoint was trained with --input_output_return")
     g.add_argument("--vae_ckpt", type=str, default=None)
     g.add_argument("--clean_image_num", type=int, default=1)
     g.add_argument("--gen_nums", type=int, nargs="+", default=[4, 4])
@@ -420,6 +466,10 @@ def build_parser() -> argparse.ArgumentParser:
     g.add_argument("--max_input_image_size", type=int, default=320)
     g.add_argument("--max_frame_window", type=int, default=16)
     g.add_argument("--clean_image_noise_level", type=float, default=0.1)
+    g.add_argument("--vae_roundtrip_recycle", action="store_true",
+                   help="reference parity: VAE-decode+re-encode recycled "
+                        "predictions (LVM/pipeline.py:491-498); default "
+                        "feeds latents back directly")
     g.add_argument("--prediction_type", default="x1", choices=["x1", "v"])
     g.add_argument("--dtype", default="bf16", choices=["bf16", "fp32"])
     g.add_argument("--tiny_model", action="store_true")
@@ -486,6 +536,8 @@ def build_parser() -> argparse.ArgumentParser:
                    help="checkpoint step (default: latest)")
     e.add_argument("--ema", action="store_true",
                    help="export the EMA weights")
+    e.add_argument("--input_head", action="store_true",
+                   help="checkpoint was trained with --input_output_return")
     e.add_argument("--tiny_model", action="store_true")
     e.set_defaults(func=cmd_export)
     return p

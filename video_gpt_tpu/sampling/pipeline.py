@@ -174,6 +174,7 @@ class VideoGPTPipeline:
         prediction_type: str = "x1",
         seed: Optional[int] = 42,
         return_latents: bool = False,
+        vae_roundtrip_recycle: bool = False,
     ):
         """Condition on ``input_frames``, roll out ``gen_nums`` clips.
 
@@ -181,6 +182,13 @@ class VideoGPTPipeline:
         FIRST block's window first (like the reference, window sliding
         applies before the initial emit — LVM/pipeline.py:418-422, 558-570),
         then every generated frame (LVM/pipeline.py:572-590).
+
+        ``vae_roundtrip_recycle`` reproduces the reference's recycled-frame
+        semantics exactly: each predicted latent is VAE-decoded and the
+        PIXELS are re-encoded as the next block's condition
+        (LVM/pipeline.py:491-498). The default (False) feeds the predicted
+        latent back directly — one fewer lossy VAE round-trip per recycled
+        frame and no extra encode work; a deliberate, documented divergence.
         """
         if img_guidance_scale == 1.0:
             use_img_guidance = False
@@ -276,9 +284,17 @@ class VideoGPTPipeline:
 
             out_px = self._decode(self.vae_params, samples)
             outputs.extend(postprocess_frames(np.asarray(out_px, np.float32)))
+            recycled = samples
+            if vae_roundtrip_recycle:
+                # reference semantics: re-encode the DECODED pixels
+                # (LVM/pipeline.py:491-498); the extend/prefill of the next
+                # block reads clean_latents, so the KV cache stays consistent
+                rng, rrng = jax.random.split(rng)
+                recycled = self._encode(self.vae_params,
+                                        out_px.astype(dtype), rrng)
             for i in range(gen_num):
                 out_latents.append(samples[i])
-                clean_latents.append(samples[i])
+                clean_latents.append(recycled[i])
 
         if return_latents:
             return outputs, out_latents
