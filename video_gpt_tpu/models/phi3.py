@@ -24,14 +24,23 @@ from ..ops.attention import AttnMeta, attend
 
 
 class KVCache(NamedTuple):
-    """Stacked per-layer keys/values: [num_layers, B, L_ctx, H_kv, D]."""
+    """Stacked per-layer keys/values, HEADS-MAJOR and LANE-PADDED:
+    [num_layers, B, H_kv, L_ctx, round_up(D, 128)].
+
+    This is byte-for-byte the layout every attention kernel reads, so the
+    denoise scan consumes the cache with ZERO copies. Storing it any other
+    way makes XLA materialise full-cache conversion copies outside the step
+    loop (transposes for tokens-major, compress/uncompress pairs for an
+    unpadded 96-lane minor dim — 2 x 2.4G HBM each at 80-frame windows: an
+    OOM on one v5e). The D padding costs nothing physically: TPU HBM tiles
+    the minor dim to 128 lanes either way."""
 
     k: jax.Array
     v: jax.Array
 
     @property
     def length(self) -> int:
-        return self.k.shape[2]
+        return self.k.shape[3]
 
 
 class RMSNorm(nn.Module):
@@ -86,19 +95,29 @@ class Phi3Attention(nn.Module):
         v = v.reshape(b, l, hkv, d)
         q = apply_rope(q, cos, sin)
         k = apply_rope(k, cos, sin)
-        new_kv = (k, v)
-        if cache is not None:
+        # new K/V emitted heads-major + lane-padded — the KVCache storage
+        # layout (only the current tokens transpose/pad; the cache itself is
+        # never relaid). Unused in training: DCE'd with the discarded cache.
+        lane_pad = -d % 128
+        new_kv = tuple(
+            jnp.pad(x.transpose(0, 2, 1, 3),
+                    ((0, 0), (0, 0), (0, 0), (0, lane_pad)))
+            for x in (k, v))
+        cached = cache is not None and cache[0].shape[2] > 0
+        if cached:
             # cached keys carry RoPE already (positions are constant across
-            # denoise steps within a block)
-            k = jnp.concatenate([cache[0].astype(k.dtype), k], axis=1)
-            v = jnp.concatenate([cache[1].astype(v.dtype), v], axis=1)
-        if cfg.sp_attention == "ulysses":
+            # denoise steps within a block); concat along L in heads-major
+            k = jnp.concatenate([cache[0].astype(k.dtype), new_kv[0]],
+                                axis=2)
+            v = jnp.concatenate([cache[1].astype(v.dtype), new_kv[1]],
+                                axis=2)
+        if cfg.sp_attention == "ulysses" and not cached:
             from ..parallel.ulysses import ulysses_attend
             out = ulysses_attend(q, k, v, q_meta, k_meta,
                                  impl=cfg.attn_impl, bias=bias)
         else:
             out = attend(q, k, v, q_meta, k_meta, impl=cfg.attn_impl,
-                         bias=bias)
+                         bias=bias, kv_heads_major=cached)
         out = out.reshape(b, l, h * d)
         out = nn.Dense(cfg.hidden_size, use_bias=False, dtype=self.dtype,
                        name="o_proj")(out)
@@ -174,8 +193,9 @@ class Phi3Decoder(nn.Module):
         if cache is None:
             # zero-length context: unifies the cached/uncached code paths
             b = inputs_embeds.shape[0]
-            empty = jnp.zeros((cfg.num_layers, b, 0, cfg.num_kv_heads,
-                               cfg.head_dim), self.dtype)
+            empty = jnp.zeros((cfg.num_layers, b, cfg.num_kv_heads, 0,
+                               cfg.head_dim + (-cfg.head_dim % 128)),
+                              self.dtype)
             cache = KVCache(empty, empty)
         carry = (inputs_embeds, cos, sin, q_meta, k_meta, bias)
         (x, *_), kv = stack(carry, (cache.k, cache.v))

@@ -248,8 +248,9 @@ class VideoGPT(nn.Module):
         _, new_kv = self.llm(emb, batch.pos_ids[:, sl], q_meta, k_meta,
                              cache=cache,
                              bias=self._maybe_bias(q_meta, k_meta))
-        return KVCache(jnp.concatenate([cache.k, new_kv.k], axis=2),
-                       jnp.concatenate([cache.v, new_kv.v], axis=2))
+        # heads-major stacked cache [layers, B, H_kv, L, D]: append along L
+        return KVCache(jnp.concatenate([cache.k, new_kv.k], axis=3),
+                       jnp.concatenate([cache.v, new_kv.v], axis=3))
 
     def decode(self, batch: Batch, noisy_latents: jax.Array, t: jax.Array,
                cache: KVCache, tail_len: int,

@@ -74,25 +74,32 @@ def attention_bias(q: AttnMeta, k: AttnMeta,
 
 
 def mha_reference(q: jax.Array, k: jax.Array, v: jax.Array,
-                  bias: Optional[jax.Array]) -> jax.Array:
+                  bias: Optional[jax.Array],
+                  kv_heads_major: bool = False) -> jax.Array:
     """Plain masked attention; q [B,Lq,H,D], k/v [B,Lk,Hkv,D] -> [B,Lq,H,D].
 
     fp32 softmax; XLA fuses the bias add. Used for parity tests and as the
-    fallback when the Pallas kernel doesn't apply.
-    """
+    fallback when the Pallas kernel doesn't apply. ``kv_heads_major``: k/v
+    arrive [B,Hkv,Lk,D] (the KV-cache layout)."""
     b, lq, h, d = q.shape
-    hkv = k.shape[2]
+    if kv_heads_major and k.shape[-1] != d:
+        # the KV cache is lane-padded to 128 (see phi3.KVCache); crop
+        k = k[..., :d]
+        v = v[..., :d]
+    h_axis = 1 if kv_heads_major else 2
+    hkv = k.shape[h_axis]
     if hkv != h:
         rep = h // hkv
-        k = jnp.repeat(k, rep, axis=2)
-        v = jnp.repeat(v, rep, axis=2)
+        k = jnp.repeat(k, rep, axis=h_axis)
+        v = jnp.repeat(v, rep, axis=h_axis)
     scale = d ** -0.5
-    logits = jnp.einsum("bqhd,bkhd->bhqk", q, k,
+    k_sub = "bhkd" if kv_heads_major else "bkhd"
+    logits = jnp.einsum(f"bqhd,{k_sub}->bhqk", q, k,
                         preferred_element_type=jnp.float32) * scale
     if bias is not None:
         logits = logits + bias.astype(jnp.float32)
     probs = jax.nn.softmax(logits, axis=-1)
-    out = jnp.einsum("bhqk,bkhd->bqhd", probs.astype(v.dtype), v)
+    out = jnp.einsum(f"bhqk,{k_sub}->bqhd", probs.astype(v.dtype), v)
     return out
 
 
@@ -130,32 +137,54 @@ def mha_chunked(q: jax.Array, k: jax.Array, v: jax.Array,
 
 def attend(q: jax.Array, k: jax.Array, v: jax.Array,
            q_meta: AttnMeta, k_meta: AttnMeta, impl: str = "auto",
-           bias: Optional[jax.Array] = None) -> jax.Array:
+           bias: Optional[jax.Array] = None,
+           kv_heads_major: bool = False) -> jax.Array:
     """Metadata-masked attention dispatch. ``bias`` is an optional
     precomputed bf16 bias (ops.flash_attention.precompute_bias) shared
     across layers/steps, or a ``DecodeMask`` (columnar per-key rank — the
-    zero-bias-traffic decode kernel); the dense fallback derives its own."""
+    zero-bias-traffic decode kernel); the dense fallback derives its own.
+
+    ``kv_heads_major``: k/v arrive [B,Hkv,Lk,D] — the KV-cache layout, so
+    only the (non-differentiated) cached-inference paths accept it; the
+    custom-VJP training wrappers are bypassed in favour of their forward
+    impls."""
     from .flash_attention import DecodeMask
     if isinstance(bias, DecodeMask):
         from .flash_attention import (flash_attention_supported,
                                       flash_mha_decode)
-        if impl in ("auto", "pallas") and flash_attention_supported(q, k, v):
-            return flash_mha_decode(q, k, v, bias)
+        if impl in ("auto", "pallas") and flash_attention_supported(
+                q, k, v, kv_heads_major):
+            return flash_mha_decode(q, k, v, bias,
+                                    kv_heads_major=kv_heads_major)
         bias = None  # fall through: derive the dense bias from metadata
     if impl in ("auto", "pallas"):
         try:
             from .flash_attention import (flash_attention_supported,
-                                          flash_mha_biased, flash_mha_inline,
+                                          flash_mha, flash_mha_biased,
+                                          flash_mha_inline,
                                           flash_mha_streaming)
-            if flash_attention_supported(q, k, v):
+            if flash_attention_supported(q, k, v, kv_heads_major):
+                if kv_heads_major:
+                    # cached inference: forward impl directly (no vjp)
+                    return flash_mha(q, k, v, q_meta, k_meta, bias=bias,
+                                     kv_heads_major=True)
                 # both paths are differentiable (custom-VJP Pallas backward)
                 if bias is not None:
                     return flash_mha_biased(q, k, v, bias)
                 return flash_mha_inline(q, k, v, q_meta, k_meta)
             from .flash_attention import INTERPRET
+            hkv = k.shape[1] if kv_heads_major else k.shape[2]
             if (jax.default_backend() == "tpu" or INTERPRET) \
-                    and q.shape[2] % k.shape[2] == 0 and q.shape[3] <= 128:
+                    and q.shape[2] % hkv == 0 and q.shape[3] <= 128:
                 # beyond the resident kernels' key cap: k-streaming kernels
+                if kv_heads_major:
+                    from .flash_attention import (_flash_streaming_fwd,
+                                                  _stream_inline_fwd)
+                    if bias is not None:
+                        return _flash_streaming_fwd(q, k, v, bias,
+                                                    kv_heads_major=True)
+                    return _stream_inline_fwd(q, k, v, q_meta, k_meta,
+                                              kv_heads_major=True)[0]
                 if bias is not None:
                     return flash_mha_streaming(q, k, v, bias)
                 from .flash_attention import flash_mha_streaming_inline
@@ -169,5 +198,8 @@ def attend(q: jax.Array, k: jax.Array, v: jax.Array,
                                f"shapes: q={q.shape} k={k.shape}")
     dense_bias = attention_bias(q_meta, k_meta, jnp.float32)
     if impl == "chunked":
+        if kv_heads_major:  # chunked is a training path; normalise layout
+            k = k[..., :q.shape[-1]].transpose(0, 2, 1, 3)
+            v = v[..., :q.shape[-1]].transpose(0, 2, 1, 3)
         return mha_chunked(q, k, v, dense_bias)
-    return mha_reference(q, k, v, dense_bias)
+    return mha_reference(q, k, v, dense_bias, kv_heads_major=kv_heads_major)

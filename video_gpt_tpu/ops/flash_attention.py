@@ -54,6 +54,21 @@ def _round_up(x: int, m: int) -> int:
     return (x + m - 1) // m * m
 
 
+def _kv_dims(k, kv_heads_major: bool):
+    """(lk, hkv) for k/v in [B,Lk,Hkv,D] (default) or [B,Hkv,Lk,D] layout.
+
+    The KV cache is stored heads-major — the layout every kernel consumes —
+    so that XLA never hoists full-cache transposed copies out of the denoise
+    scan (2 x 2.4G HBM at 80-frame windows, an OOM at window scale)."""
+    return (k.shape[2], k.shape[1]) if kv_heads_major else (
+        k.shape[1], k.shape[2])
+
+
+def _kv_hm(x, kv_heads_major: bool):
+    """To heads-major [B,H,L,D] (no-op when already stored that way)."""
+    return x if kv_heads_major else x.transpose(0, 2, 1, 3)
+
+
 def _padded_visibility(q_meta: AttnMeta, k_meta: AttnMeta, lqp: int,
                        lkp: int) -> jax.Array:
     """[B, Lqp, Lkp] bool; padded queries act as pad rows over real keys,
@@ -339,7 +354,10 @@ def _decode_kernel(qoff_ref, rank_ref, q_ref, k_ref, v_ref, o_ref, *,
     s = jax.lax.dot_general(
         q, k, (((1,), (1,)), ((), ())),
         preferred_element_type=jnp.float32) * kscale
-    qoff = qoff_ref[0, 0][:, None]     # [bq, 1] int32
+    # qoff rides in the SUBLANE dim ([B, Lq, 1]) so its q-block only needs
+    # 8-divisibility — the VMEM-pressure block sizes (96) aren't multiples
+    # of 128, which a lane-dim block spec would require
+    qoff = qoff_ref[0]                 # [bq, 1] int32
     rank = rank_ref[0, 0][None, :]     # [1, Lkp] int32
     s = jnp.where(qoff >= rank, s, -1e30)
     m = jnp.max(s, axis=-1, keepdims=True)
@@ -364,18 +382,24 @@ class DecodeMask(NamedTuple):
 
 def flash_mha_decode(q, k, v, mask: DecodeMask,
                      block_q: Optional[int] = None,
-                     interpret: bool = False) -> jax.Array:
+                     interpret: bool = False,
+                     kv_heads_major: bool = False) -> jax.Array:
     """Resident flash attention for the inference decode step (fwd-only).
 
     q [B,Lq,H,D], k/v [B,Lk,Hkv,D] -> [B,Lq,H,D]. Grid (B, H, q-blocks):
     K/V stay VMEM-resident across each head's q sweep; the rank vector is
-    ~Lk int32 revisited per batch row. No [Lq, Lk] bias exists anywhere."""
+    ~Lk int32 revisited per batch row. No [Lq, Lk] bias exists anywhere.
+    ``kv_heads_major``: k/v arrive [B,Hkv,Lk,D] (the KV-cache layout)."""
     b, lq, h, d = q.shape
-    lk, hkv = k.shape[1], k.shape[2]
+    lk, hkv = _kv_dims(k, kv_heads_major)
     if block_q is None:
         block_q = _fwd_block_q(lq, lk)
     kscale = d ** -0.5 * 1.4426950408889634  # scale * log2(e)
-    dp = _round_up(d, 128)
+    # kernel D = whatever k/v carry: the KV cache arrives lane-padded
+    # (KVCache docstring) so the pads below are no-ops on it and the scan
+    # consumes it copy-free; uncached callers pass D as-is (a full-dim
+    # block is legal at any size — Mosaic masks the MXU lanes)
+    dp = k.shape[-1]
     block_q = min(block_q, _round_up(lq, 8))
     lqp = _round_up(lq, block_q)
     lkp = _round_up(lk, 128)
@@ -383,22 +407,22 @@ def flash_mha_decode(q, k, v, mask: DecodeMask,
 
     qt = jnp.pad(q.transpose(0, 2, 1, 3),
                  ((0, 0), (0, 0), (0, lqp - lq), (0, dp - d)))
-    kt = jnp.pad(k.transpose(0, 2, 1, 3),
-                 ((0, 0), (0, 0), (0, lkp - lk), (0, dp - d)))
-    vt = jnp.pad(v.transpose(0, 2, 1, 3),
-                 ((0, 0), (0, 0), (0, lkp - lk), (0, dp - d)))
+    kt = _kv_hm(k, kv_heads_major)
+    vt = _kv_hm(v, kv_heads_major)
+    kt = jnp.pad(kt, ((0, 0), (0, 0), (0, lkp - lk), (0, dp - kt.shape[-1])))
+    vt = jnp.pad(vt, ((0, 0), (0, 0), (0, lkp - lk), (0, dp - vt.shape[-1])))
     # padded keys never visible; padded queries see everything (rows cropped)
     rank = jnp.pad(mask.rank, ((0, 0), (0, lkp - lk)),
                    constant_values=2**30)[:, None, :]
     qoff = jnp.pad(mask.q_off, ((0, 0), (0, lqp - lq)),
-                   constant_values=2**30)[:, None, :]
+                   constant_values=2**30)[:, :, None]   # [B, Lqp, 1]
 
     grid = (b, h, lqp // block_q)
     out = pl.pallas_call(
         functools.partial(_decode_kernel, kscale=kscale),
         grid=grid,
         in_specs=[
-            pl.BlockSpec((1, 1, block_q), lambda bi, hi, qi: (bi, 0, qi),
+            pl.BlockSpec((1, block_q, 1), lambda bi, hi, qi: (bi, qi, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, 1, lkp), lambda bi, hi, qi: (bi, 0, 0),
                          memory_space=pltpu.VMEM),
@@ -466,9 +490,10 @@ def _stream_kernel(bias_ref, q_ref, k_ref, v_ref, o_ref,
         o_ref[0, 0] = (acc_scr[:] / denom).astype(o_ref.dtype)
 
 
-def _flash_streaming_fwd(q, k, v, bias, block_q=None, block_k=512):
+def _flash_streaming_fwd(q, k, v, bias, block_q=None, block_k=512,
+                         kv_heads_major: bool = False):
     b, lq, h, d = q.shape
-    lk, hkv = k.shape[1], k.shape[2]
+    lk, hkv = _kv_dims(k, kv_heads_major)
     scale = d ** -0.5
     dp = _round_up(d, 128)
     if block_q is None:
@@ -486,10 +511,11 @@ def _flash_streaming_fwd(q, k, v, bias, block_q=None, block_k=512):
 
     qt = jnp.pad(q.transpose(0, 2, 1, 3),
                  ((0, 0), (0, 0), (0, lqp - lq), (0, dp - d)))
-    kt = jnp.pad(k.transpose(0, 2, 1, 3),
-                 ((0, 0), (0, 0), (0, lkp - lk), (0, dp - d)))
-    vt = jnp.pad(v.transpose(0, 2, 1, 3),
-                 ((0, 0), (0, 0), (0, lkp - lk), (0, dp - d)))
+    # heads-major k/v arrive lane-padded to dp (KVCache): D pads are no-ops
+    kt = _kv_hm(k, kv_heads_major)
+    vt = _kv_hm(v, kv_heads_major)
+    kt = jnp.pad(kt, ((0, 0), (0, 0), (0, lkp - lk), (0, dp - kt.shape[-1])))
+    vt = jnp.pad(vt, ((0, 0), (0, 0), (0, lkp - lk), (0, dp - vt.shape[-1])))
     if bias.shape[1] < lqp or bias.shape[2] < lkp \
             or bias.shape[1] % bq or bias.shape[2] % bk:
         bias = jnp.pad(
@@ -613,9 +639,9 @@ def _stream_inline_kernel(q_idx_ref, q_blk_ref, q_off_ref, q_pad_ref,
         lse_ref[0, 0] = m_scr[:, 0] + jnp.log(denom[:, 0])
 
 
-def _stream_geometry(q, k, block_q, block_k):
+def _stream_geometry(q, k, block_q, block_k, kv_heads_major: bool = False):
     b, lq, h, d = q.shape
-    lk, hkv = k.shape[1], k.shape[2]
+    lk, hkv = _kv_dims(k, kv_heads_major)
     dp = _round_up(d, 128)
     bq = min(block_q, _round_up(lq, 8))
     lqp = _round_up(lq, bq)
@@ -624,15 +650,18 @@ def _stream_geometry(q, k, block_q, block_k):
     return b, lq, h, d, lk, hkv, dp, bq, lqp, bk, lkp
 
 
-def _stream_pad_inputs(q, k, v, q_meta, k_meta, lqp, lkp, dp):
+def _stream_pad_inputs(q, k, v, q_meta, k_meta, lqp, lkp, dp,
+                       kv_heads_major: bool = False):
     d = q.shape[-1]
-    lq, lk = q.shape[1], k.shape[1]
+    lq = q.shape[1]
+    lk, _ = _kv_dims(k, kv_heads_major)
     qt = jnp.pad(q.transpose(0, 2, 1, 3),
                  ((0, 0), (0, 0), (0, lqp - lq), (0, dp - d)))
-    kt = jnp.pad(k.transpose(0, 2, 1, 3),
-                 ((0, 0), (0, 0), (0, lkp - lk), (0, dp - d)))
-    vt = jnp.pad(v.transpose(0, 2, 1, 3),
-                 ((0, 0), (0, 0), (0, lkp - lk), (0, dp - d)))
+    # heads-major k/v arrive lane-padded to dp (KVCache): D pads are no-ops
+    kt = _kv_hm(k, kv_heads_major)
+    vt = _kv_hm(v, kv_heads_major)
+    kt = jnp.pad(kt, ((0, 0), (0, 0), (0, lkp - lk), (0, dp - kt.shape[-1])))
+    vt = jnp.pad(vt, ((0, 0), (0, 0), (0, lkp - lk), (0, dp - vt.shape[-1])))
 
     def padq(x, fill):
         return jnp.pad(x, ((0, 0), (0, lqp - lq)),
@@ -650,14 +679,15 @@ def _stream_pad_inputs(q, k, v, q_meta, k_meta, lqp, lkp, dp):
 
 
 def _stream_inline_fwd(q, k, v, q_meta: AttnMeta, k_meta: AttnMeta,
-                       block_q: int = 512, block_k: int = 512):
+                       block_q: int = 512, block_k: int = 512,
+                       kv_heads_major: bool = False):
     """Metadata streaming forward; returns (out, lse [B, H, Lqp] f32)."""
     (b, lq, h, d, lk, hkv, dp, bq, lqp, bk, lkp) = _stream_geometry(
-        q, k, block_q, block_k)
+        q, k, block_q, block_k, kv_heads_major)
     scale = d ** -0.5
     group = h // hkv
     qt, kt, vt, meta_in = _stream_pad_inputs(q, k, v, q_meta, k_meta,
-                                             lqp, lkp, dp)
+                                             lqp, lkp, dp, kv_heads_major)
     grid = (b, h, lqp // bq, lkp // bk)
 
     def qmeta_spec():
@@ -921,7 +951,7 @@ def _streaming_vjp_bwd(res, do):
 flash_mha_streaming.defvjp(_streaming_vjp_fwd, _streaming_vjp_bwd)
 
 
-def flash_attention_supported(q, k, v) -> bool:
+def flash_attention_supported(q, k, v, kv_heads_major: bool = False) -> bool:
     if not INTERPRET:  # interpret mode runs anywhere (CPU tests / dryrun)
         try:
             platform = q.devices().pop().platform if hasattr(q, "devices") \
@@ -931,21 +961,22 @@ def flash_attention_supported(q, k, v) -> bool:
         if platform != "tpu":
             return False
     b, lq, h, d = q.shape
-    hkv = k.shape[2]
+    lk, hkv = _kv_dims(k, kv_heads_major)
     # full key rows live in VMEM: beyond ~8k keys the kernels cannot fit
-    return (h % hkv == 0 and d <= 128
-            and _round_up(k.shape[1], 128) <= 8192)
+    return h % hkv == 0 and d <= 128 and _round_up(lk, 128) <= 8192
 
 
 def flash_mha(q: jax.Array, k: jax.Array, v: jax.Array,
               q_meta: AttnMeta, k_meta: AttnMeta,
               bias: Optional[jax.Array] = None,
               block_q: Optional[int] = None,
-              interpret: bool = False) -> jax.Array:
+              interpret: bool = False,
+              kv_heads_major: bool = False) -> jax.Array:
     """q [B,Lq,H,D], k/v [B,Lk,Hkv,D] -> [B,Lq,H,D]. ``bias`` is the output
-    of :func:`precompute_bias` (fast path); None selects the inline mode."""
+    of :func:`precompute_bias` (fast path); None selects the inline mode.
+    ``kv_heads_major``: k/v arrive [B,Hkv,Lk,D] (the KV-cache layout)."""
     b, lq, h, d = q.shape
-    lk, hkv = k.shape[1], k.shape[2]
+    lk, hkv = _kv_dims(k, kv_heads_major)
     if block_q is None:
         if bias is not None:
             block_q = _fwd_block_q(lq, lk)
@@ -960,10 +991,12 @@ def flash_mha(q: jax.Array, k: jax.Array, v: jax.Array,
 
     qt = jnp.pad(q.transpose(0, 2, 1, 3),
                  ((0, 0), (0, 0), (0, lqp - lq), (0, dp - d)))
-    kt = jnp.pad(k.transpose(0, 2, 1, 3),
-                 ((0, 0), (0, 0), (0, lkp - lk), (0, dp - d)))
-    vt = jnp.pad(v.transpose(0, 2, 1, 3),
-                 ((0, 0), (0, 0), (0, lkp - lk), (0, dp - d)))
+    # heads-major k/v arrive lane-padded to dp already (KVCache docstring):
+    # both pads below are then no-ops and the cache is consumed copy-free
+    kt = _kv_hm(k, kv_heads_major)
+    vt = _kv_hm(v, kv_heads_major)
+    kt = jnp.pad(kt, ((0, 0), (0, 0), (0, lkp - lk), (0, dp - kt.shape[-1])))
+    vt = jnp.pad(vt, ((0, 0), (0, 0), (0, lkp - lk), (0, dp - vt.shape[-1])))
     group = h // hkv
     out_shape = jax.ShapeDtypeStruct((b, h, lqp, dp), q.dtype)
     cost = pl.CostEstimate(
