@@ -266,13 +266,14 @@ def bench_lora_stage4():
                                                     make_lora_train_step,
                                                     make_optimizer)
 
-    # 64 frames (~28.4k tokens): at 80 frames the 32 per-layer scan-carry
-    # checkpoints ([1,L,3072] bf16 each) plus the 7.6G bf16 base exceed one
-    # v5e's HBM at runtime; 64 leaves ~2G headroom
+    # 64 frames (~28.4k tokens): 80-frame carries (32 x [1,L,3072] bf16
+    # scan checkpoints) + the 7.6G bf16 base leave no HBM headroom on one
+    # v5e; longer needs the mesh (ZeRO over `data`)
     frame_num = int(os.environ.get("LORA_FRAMES", 64))
     tcfg = stage_config(4, frame_num=frame_num, use_lora=True,
                         max_input_length_limit=1_280_000)
-    mcfg = ModelConfig(remat=True)
+    # in-model adapters (phi3.LoraDense): only adapter grads materialise
+    mcfg = ModelConfig(remat=True, lora_rank=tcfg.lora_rank)
     model = VideoGPT(mcfg, dtype=jnp.bfloat16, train_init=True)
     ds = VideoClipDataset(VIDS, frame_num=frame_num, frame_interval=1,
                           flexible_interval=True, interval_bound=12,
@@ -320,7 +321,8 @@ def bench_lora_stage4():
     dt = _median(times)
     _emit({
         "metric": f"stage-4 LoRA fine-tune step, FULL 3.8B model, one chip "
-                  f"({length} tokens, 80-frame frame-block, fwd+bwd+AdamW, "
+                  f"({length} tokens, {frame_num}-frame frame-block, "
+                  "fwd+bwd+AdamW, "
                   "bf16, remat)",
         "value": round(length / dt, 1),
         "unit": "tokens/s/chip",
@@ -339,12 +341,18 @@ ALL = {
 
 
 def main():
+    import gc
+
     names = sys.argv[1:] or list(ALL)
     for name in names:
         try:
             ALL[name]()
         except Exception as e:  # keep the suite going; report the failure
             _emit({"metric": name, "error": f"{type(e).__name__}: {e}"})
+        # drop compiled programs + device buffers so one leg's (possibly
+        # failed) working set can't exhaust HBM for the next
+        jax.clear_caches()
+        gc.collect()
 
 
 if __name__ == "__main__":

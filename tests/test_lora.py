@@ -51,7 +51,31 @@ def test_lora_identity_at_init_and_targets():
                                atol=1e-6)
 
 
+def test_lora_graft_matches_merge():
+    """In-model adapters (rank>0 model + graft_lora) == merged kernels."""
+    from dataclasses import replace
+
+    from video_gpt_tpu.training.lora import graft_lora
+    model, params, inputs, layout = _setup()
+    lora = init_lora(params["params"], rank=4, rng=jax.random.PRNGKey(1))
+    # make the adapters act (B is zero-init; randomise it)
+    lora = jax.tree.map(
+        lambda x: x + 0.05 * jax.random.normal(jax.random.PRNGKey(2),
+                                               x.shape, x.dtype), lora)
+    t = jnp.full((4,), 0.3)
+    merged_out = model.apply(
+        {"params": merge_lora(params["params"], lora)}, inputs.batch,
+        inputs.x1, t, inputs.clean_latents)
+    rank_model = VideoGPT(replace(CFG, lora_rank=4), dtype=jnp.float32)
+    graft_out = rank_model.apply(
+        {"params": graft_lora(params["params"], lora)}, inputs.batch,
+        inputs.x1, t, inputs.clean_latents)
+    np.testing.assert_allclose(np.asarray(graft_out),
+                               np.asarray(merged_out), atol=2e-5)
+
+
 def test_lora_training_updates_only_adapters():
+    from dataclasses import replace
     model, params, inputs, layout = _setup()
     # a fresh model has a zero-initialised adaLN head (LVM/model.py:240-244),
     # which blocks gradients to the trunk; emulate a pretrained checkpoint
@@ -62,7 +86,9 @@ def test_lora_training_updates_only_adapters():
         jax.random.PRNGKey(10), fl["adaLN_modulation"]["kernel"].shape)
     lora = init_lora(params["params"], rank=4, rng=jax.random.PRNGKey(1))
     cfg = TrainConfig(lr=1e-3, lr_scheduler="constant")
-    step = jax.jit(make_lora_train_step(model, params, cfg, max_blocks=3))
+    rank_model = VideoGPT(replace(CFG, lora_rank=4), dtype=jnp.float32)
+    step = jax.jit(make_lora_train_step(rank_model, params, cfg,
+                                        max_blocks=3))
     state = TrainState(step=jnp.zeros((), jnp.int32), params=lora,
                        opt_state=make_optimizer(cfg).init(lora))
     losses = []

@@ -44,6 +44,13 @@ class ModelConfig:
                                 # over the mesh's seq axis; no-op off-mesh)
     scan_unroll: int = 1     # unroll factor for the layer scan (compile time
                              # vs scheduling freedom)
+    # in-model LoRA (qkv_proj/o_proj): rank 0 = off. Adapters act INSIDE the
+    # layer (y += (alpha/r)*(x@A)@B) so a frozen-base fine-tune only ever
+    # materialises adapter gradients — merging outside the model would make
+    # the scan backward accumulate stacked f32 kernel cotangents (~4.5G at
+    # 3.8B scale) before contracting them to dA/dB
+    lora_rank: int = 0
+    lora_alpha: float = 8.0
     # precompute the attention bias once per clip (shared by all layers and
     # denoise steps) when B*Lq*Lk is at most this many elements (~512 MB
     # bf16); larger sequences use the O(L) in-kernel mask path

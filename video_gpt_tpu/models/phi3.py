@@ -76,6 +76,42 @@ def apply_rope(x: jax.Array, cos: jax.Array, sin: jax.Array) -> jax.Array:
     return x * cos[:, :, None, :] + rotated * sin[:, :, None, :]
 
 
+class LoraDense(nn.Module):
+    """Bias-free Dense with an optional in-module LoRA path.
+
+    ``rank > 0`` adds ``(alpha/rank) * (x@A) @ B`` with A/B as params in
+    THIS module's scope — the tree shape ``training/lora.init_lora`` builds
+    ({kernel, lora_a, lora_b}), so externally-initialised adapter trees
+    graft directly. The adapters must act in-model: differentiating through
+    an externally merged kernel makes the layer scan's backward accumulate
+    stacked f32 kernel cotangents (~4.5G for qkv+o at 3.8B) before they
+    contract to dA/dB; in-model, only the tiny adapter grads exist.
+    ``rank == 0`` is param-for-param identical to ``nn.Dense(use_bias=False)``
+    (same scope path -> same init stream; checkpoints are unaffected).
+    """
+
+    features: int
+    rank: int = 0
+    alpha: float = 8.0
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        kernel = self.param("kernel", nn.initializers.lecun_normal(),
+                            (x.shape[-1], self.features))
+        y = x @ kernel.astype(self.dtype)
+        if self.rank:
+            a = self.param(
+                "lora_a",
+                nn.initializers.variance_scaling(1.0, "fan_in", "normal"),
+                (x.shape[-1], self.rank))
+            bm = self.param("lora_b", nn.initializers.zeros,
+                            (self.rank, self.features))
+            y = y + (x @ a.astype(self.dtype)) @ bm.astype(self.dtype) * (
+                self.alpha / self.rank)
+        return y
+
+
 class Phi3Attention(nn.Module):
     cfg: ModelConfig
     dtype: jnp.dtype = jnp.float32
@@ -87,8 +123,8 @@ class Phi3Attention(nn.Module):
         cfg = self.cfg
         h, hkv, d = cfg.num_heads, cfg.num_kv_heads, cfg.head_dim
         b, l, _ = x.shape
-        qkv = nn.Dense((h + 2 * hkv) * d, use_bias=False, dtype=self.dtype,
-                       name="qkv_proj")(x)
+        qkv = LoraDense((h + 2 * hkv) * d, cfg.lora_rank, cfg.lora_alpha,
+                        self.dtype, name="qkv_proj")(x)
         q, k, v = jnp.split(qkv, [h * d, (h + hkv) * d], axis=-1)
         q = q.reshape(b, l, h, d)
         k = k.reshape(b, l, hkv, d)
@@ -119,8 +155,8 @@ class Phi3Attention(nn.Module):
             out = attend(q, k, v, q_meta, k_meta, impl=cfg.attn_impl,
                          bias=bias, kv_heads_major=cached)
         out = out.reshape(b, l, h * d)
-        out = nn.Dense(cfg.hidden_size, use_bias=False, dtype=self.dtype,
-                       name="o_proj")(out)
+        out = LoraDense(cfg.hidden_size, cfg.lora_rank, cfg.lora_alpha,
+                        self.dtype, name="o_proj")(out)
         return out, new_kv
 
 
@@ -143,9 +179,11 @@ class Phi3Layer(nn.Module):
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, carry, scanned):
-        x, cos, sin, q_meta, k_meta, bias = carry
-        cache = scanned
+    def __call__(self, x, cache, cos, sin, q_meta, k_meta, bias):
+        # x is the scan CARRY; everything layer-invariant (rope tables,
+        # metadata, bias) rides as an nn.broadcast input — in the carry,
+        # remat would checkpoint a copy PER LAYER and the scan backward
+        # would stack them (32 x the [Lq, Lk] bias = 12G at 14k tokens)
         attn_in = RMSNorm(self.cfg.rms_norm_eps, self.dtype,
                           name="input_layernorm")(x)
         attn_out, new_kv = Phi3Attention(self.cfg, self.dtype,
@@ -158,7 +196,7 @@ class Phi3Layer(nn.Module):
         if self.cfg.seq_shard:
             from ..parallel.mesh import constrain_activations
             x = constrain_activations(x)
-        return (x, cos, sin, q_meta, k_meta, bias), new_kv
+        return x, new_kv
 
 
 class Phi3Decoder(nn.Module):
@@ -185,7 +223,8 @@ class Phi3Decoder(nn.Module):
             layer,
             variable_axes={"params": 0},
             split_rngs={"params": True},
-            in_axes=0,
+            in_axes=(0, nn.broadcast, nn.broadcast, nn.broadcast,
+                     nn.broadcast, nn.broadcast),
             out_axes=0,
             length=cfg.num_layers,
             unroll=cfg.scan_unroll,
@@ -197,7 +236,7 @@ class Phi3Decoder(nn.Module):
                                cfg.head_dim + (-cfg.head_dim % 128)),
                               self.dtype)
             cache = KVCache(empty, empty)
-        carry = (inputs_embeds, cos, sin, q_meta, k_meta, bias)
-        (x, *_), kv = stack(carry, (cache.k, cache.v))
+        x, kv = stack(inputs_embeds, (cache.k, cache.v), cos, sin,
+                      q_meta, k_meta, bias)
         x = RMSNorm(cfg.rms_norm_eps, self.dtype, name="norm")(x)
         return x, KVCache(*kv)

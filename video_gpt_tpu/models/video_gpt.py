@@ -70,9 +70,14 @@ def maybe_bias(cfg: ModelConfig, q_meta: AttnMeta, k_meta: AttnMeta):
     lk = k_meta.vis_start.shape[1]
     if b * lq * lk > cfg.precompute_bias_limit:
         return None
+    if lk > 8192:  # == round_up(lk, 128) > 8192, the resident-kernel cap
+        # beyond the resident kernels' key cap only the k-STREAMING kernels
+        # apply, and their bias flavour is wrong for training: the bias is a
+        # custom-vjp residual, so nn.scan stacks one copy PER LAYER (12G at
+        # 14k tokens). The metadata-inline streaming pair evaluates the mask
+        # in-kernel from O(L) vectors instead — fwd and bwd.
+        return None
     from ..ops.flash_attention import precompute_bias
-    # <= 8k keys: resident kernels; beyond: the k-streaming kernel —
-    # both consume the same precomputed bias
     return precompute_bias(q_meta, k_meta)
 
 

@@ -73,3 +73,26 @@ def merge_lora(params: Dict, lora: Dict, alpha: float = 8.0) -> Dict:
     """Materialise merged weights (LVMPipeline.merge_lora,
     LVM/pipeline.py:97-101)."""
     return jax.tree.map(jnp.asarray, apply_lora(params, lora, alpha))
+
+
+def graft_lora(params: Dict, lora: Dict) -> Dict:
+    """Insert the adapter leaves into a base params tree WITHOUT merging —
+    the tree a ``lora_rank > 0`` model consumes (phi3.LoraDense). Training
+    differentiates only the adapter argument, so the frozen base never
+    grows kernel cotangents. Existing lora leaves in ``params`` (e.g. from
+    ``model.init`` of a rank>0 model) are replaced."""
+
+    def weave(p_node, l_node):
+        if not isinstance(p_node, dict):
+            return p_node
+        out = {}
+        for k, v in p_node.items():
+            child_l = l_node.get(k, {}) if isinstance(l_node, dict) else {}
+            out[k] = weave(v, child_l)
+        if isinstance(l_node, dict):
+            for k in ("lora_a", "lora_b"):
+                if k in l_node:
+                    out[k] = l_node[k]
+        return out
+
+    return weave(params, lora)

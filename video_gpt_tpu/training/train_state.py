@@ -74,15 +74,24 @@ def ema_update(ema, params, decay: float):
 def make_lora_train_step(model: VideoGPT, base_params, cfg: TrainConfig,
                          max_blocks: int) -> Callable:
     """Train step where ``state.params`` is a LoRA adapter tree and the base
-    weights stay frozen (reference peft path, train_x1_stage1:204-223)."""
-    from .lora import apply_lora
+    weights stay frozen (reference peft path, train_x1_stage1:204-223).
 
+    ``model`` must be built with ``cfg.lora_rank > 0``: the adapters are
+    grafted into the tree and act in-model (phi3.LoraDense), so the only
+    gradients that ever materialise are the adapter stacks ([layers, *, r])
+    — an externally merged kernel would give the scan backward stacked f32
+    kernel cotangents (~4.5G at 3.8B) before contracting them to dA/dB."""
+    from .lora import graft_lora
+
+    if model.cfg.lora_rank <= 0:
+        raise ValueError("make_lora_train_step needs a model built with "
+                         "ModelConfig.lora_rank > 0 (in-model adapters)")
     tx = make_optimizer(cfg)
     inner = base_params["params"] if "params" in base_params else base_params
 
     def step(state: TrainState, rng: jax.Array, inputs: LossInputs):
         def loss_fn(lora):
-            merged = {"params": apply_lora(inner, lora)}
+            merged = {"params": graft_lora(inner, lora)}
             return training_loss(
                 model, merged, rng, inputs, max_blocks=max_blocks,
                 input_noise=cfg.input_noise,

@@ -67,6 +67,9 @@ class Trainer:
             overrides["sp_attention"] = "ulysses"
         if train_cfg.gradient_checkpointing and not model_cfg.remat:
             overrides["remat"] = True
+        if train_cfg.use_lora and not model_cfg.lora_rank:
+            # in-model adapters (phi3.LoraDense) — see make_lora_train_step
+            overrides["lora_rank"] = train_cfg.lora_rank
         est_l = 2 * train_cfg.frame_num * (
             tokens_per_frame(*target_resolution) + 2)
         # 'auto' trains through the custom-VJP resident flash kernels up to
