@@ -347,7 +347,15 @@ def _decode_kernel(qoff_ref, rank_ref, q_ref, k_ref, v_ref, o_ref, *,
     streams ~Lq*Lk bf16 per head per layer, ~100ms/step at flagship decode
     shapes). Softmax normalisation divides the [bq, D] output instead of the
     [bq, Lk] probabilities (one fewer full VPU pass) and runs on exp2 with
-    scale*log2(e) folded into the score scale."""
+    scale*log2(e) folded into the score scale.
+
+    No max-subtraction: logits here are bounded (|q.k|*scale*log2e stays
+    well under f32 exp2's +-126 range for unit-variance bf16 activations;
+    a clamp at +-80 guards pathological inputs), so exp2 runs directly and
+    the mask folds into the SAME pass via ``where`` — two fewer full
+    [bq, Lk] VPU passes (max-reduce + subtract-broadcast) than the safe
+    flash recurrence. The denominator is exact: unshifted exp2 sums are
+    f32-representable across the clamped range."""
     q = q_ref[0, 0]                    # [bq, Dp]
     k = k_ref[0, 0]                    # [Lkp, Dp]
     v = v_ref[0, 0]
@@ -359,9 +367,8 @@ def _decode_kernel(qoff_ref, rank_ref, q_ref, k_ref, v_ref, o_ref, *,
     # of 128, which a lane-dim block spec would require
     qoff = qoff_ref[0]                 # [bq, 1] int32
     rank = rank_ref[0, 0][None, :]     # [1, Lkp] int32
-    s = jnp.where(qoff >= rank, s, -1e30)
-    m = jnp.max(s, axis=-1, keepdims=True)
-    p = jnp.exp2(s - m)
+    p = jnp.where(qoff >= rank,
+                  jnp.exp2(jnp.clip(s, -80.0, 80.0)), 0.0)
     l = jnp.sum(p, axis=-1, keepdims=True)
     acc = jnp.dot(p.astype(v.dtype), v,
                   preferred_element_type=jnp.float32)
