@@ -1,0 +1,131 @@
+"""Sequence-parallel SERVING vs the single-device pipeline.
+
+The reference serves with SP=4 Ulysses (inference_nv.sh:23); here a CPU
+device mesh makes parity a unit test: the full autoregressive pipeline —
+prefill (head-sharded cache at rest), cached decode (tail-only
+all_to_alls), separate-CFG uncond row, cross-block extension — must produce
+the same latents sharded as unsharded.
+"""
+import dataclasses
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from video_gpt_tpu.config import MeshConfig, ModelConfig
+from video_gpt_tpu.layout import (frame_block_inference_layout,
+                                  tokens_per_frame)
+from video_gpt_tpu.models.vae import AutoencoderKL, VAEConfig
+from video_gpt_tpu.models.video_gpt import Batch, VideoGPT
+from video_gpt_tpu.parallel.mesh import make_mesh
+from video_gpt_tpu.parallel.ulysses import ulysses_attend_cached
+from video_gpt_tpu.sampling.pipeline import VideoGPTPipeline
+
+
+def _mesh(data=1, seq=2):
+    if len(jax.devices()) < data * seq:
+        pytest.skip("needs fake CPU devices")
+    return make_mesh(MeshConfig(data=data, seq=seq))
+
+
+CFG = ModelConfig.tiny(attn_impl="reference", pos_embed_max_size=192)
+
+
+def _pipelines(seq):
+    """Same params; one plain pipeline, one over a (1, seq) mesh."""
+    model = VideoGPT(CFG, dtype=jnp.float32)
+    vae = AutoencoderKL(VAEConfig.tiny(), dtype=jnp.float32)
+    H = W = 48
+    n = tokens_per_frame(H, W)
+    lay = frame_block_inference_layout(2, 1, n, use_cfg=True)
+    z = jnp.zeros((2, H // 8, W // 8, 4))
+    cl = jnp.zeros((2, H // 8, W // 8, 4))
+    params = model.init(jax.random.PRNGKey(1), Batch.from_layout(lay), z,
+                        jnp.zeros((2,)), cl)
+    # perturb: the tiny zero-init final layer would make every output 0
+    leaves, treedef = jax.tree.flatten(params)
+    rngs = jax.random.split(jax.random.PRNGKey(7), len(leaves))
+    leaves = [l + 0.02 * jax.random.normal(r, l.shape, l.dtype)
+              for l, r in zip(leaves, rngs)]
+    params = jax.tree.unflatten(treedef, leaves)
+    vparams = vae.init(jax.random.PRNGKey(2), jnp.zeros((1, H, W, 3)),
+                       jax.random.PRNGKey(3), True)
+    plain = VideoGPTPipeline(model=model, params=params, vae=vae,
+                             vae_params=vparams)
+    sp_cfg = dataclasses.replace(CFG, seq_shard=True,
+                                 sp_attention="ulysses")
+    sharded = VideoGPTPipeline(model=VideoGPT(sp_cfg, dtype=jnp.float32),
+                               params=params, vae=vae, vae_params=vparams,
+                               mesh=_mesh(seq=seq))
+    return plain, sharded
+
+
+def _frames(n=2):
+    import cv2
+    cap = cv2.VideoCapture("/root/reference/vids/plane.mp4")
+    out = []
+    for i in range(n):
+        cap.set(cv2.CAP_PROP_POS_FRAMES, i * 4)
+        ok, f = cap.read()
+        assert ok
+        out.append(cv2.cvtColor(f, cv2.COLOR_BGR2RGB))
+    cap.release()
+    return out
+
+
+def test_sp_pipeline_matches_single_device():
+    plain, sharded = _pipelines(seq=2)
+    frames = _frames(2)
+    # two blocks with CFG: exercises prefill, cached decode, the uncond
+    # tail-only row, and the cross-block cache-extend path (noise level 0)
+    kw = dict(gen_nums=[1, 1], num_inference_steps=2,
+              img_guidance_scale=1.5, max_input_image_size=48,
+              max_frame_window=8, clean_image_noise_level=0.0, seed=11,
+              return_latents=True)
+    _, want = plain.generate(frames, **kw)
+    _, got = sharded.generate(frames, **kw)
+    assert len(got) == len(want) == 2
+    for g, w in zip(got, want):
+        np.testing.assert_allclose(np.asarray(g), np.asarray(w),
+                                   atol=2e-4, rtol=2e-4)
+
+
+def test_ulysses_cached_matches_concat():
+    """The cached-attention collective path == plain concat attention."""
+    from video_gpt_tpu.models.video_gpt import decode_mask
+    from video_gpt_tpu.ops.attention import AttnMeta, attend
+
+    mesh = _mesh(seq=4)
+    n = tokens_per_frame(32, 32)  # 4 tokens/frame at patch 2? -> layout len
+    layout = frame_block_inference_layout(2, 2, n, use_cfg=False)
+    meta = AttnMeta.from_layout(layout)
+    tail = layout.noisy_tail_len()
+    q_meta = meta.tail(tail)
+    b, l, h, d = layout.batch, layout.length, 4, 64
+    lc = l - tail
+    rng = np.random.RandomState(3)
+    q = jnp.asarray(rng.randn(b, tail, h, d), jnp.float32)
+    # heads-major lane-padded cache/tail K,V (the KVCache layout)
+    dp = d + (-d % 128)
+    ck = jnp.pad(jnp.asarray(rng.randn(b, h, lc, d), jnp.float32),
+                 ((0, 0), (0, 0), (0, 0), (0, dp - d)))
+    cv = jnp.pad(jnp.asarray(rng.randn(b, h, lc, d), jnp.float32),
+                 ((0, 0), (0, 0), (0, 0), (0, dp - d)))
+    kn = jnp.pad(jnp.asarray(rng.randn(b, h, tail, d), jnp.float32),
+                 ((0, 0), (0, 0), (0, 0), (0, dp - d)))
+    vn = jnp.pad(jnp.asarray(rng.randn(b, h, tail, d), jnp.float32),
+                 ((0, 0), (0, 0), (0, 0), (0, dp - d)))
+    dm = decode_mask(q_meta, meta)
+
+    k_full = jnp.concatenate([ck, kn], axis=2)
+    v_full = jnp.concatenate([cv, vn], axis=2)
+    want = attend(q, k_full, v_full, q_meta, meta, impl="reference",
+                  bias=dm, kv_heads_major=True)
+    with jax.sharding.set_mesh(mesh):
+        got = jax.jit(lambda q, kn, vn, ck, cv: ulysses_attend_cached(
+            q, kn, vn, ck, cv, q_meta, meta, impl="reference", bias=dm))(
+            q, kn, vn, ck, cv)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               atol=1e-5, rtol=1e-5)

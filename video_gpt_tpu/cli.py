@@ -142,6 +142,16 @@ def cmd_generate(args):
 
     enable_compilation_cache()
     model_cfg = _model_cfg(args)
+    mesh = None
+    if args.mesh_seq > 1:
+        # sequence-parallel serving over a Mesh (reference: inference at
+        # SP=4, inference_nv.sh:23); Ulysses all_to_alls move only the tail
+        from .config import MeshConfig
+        from .parallel.mesh import make_mesh
+        from dataclasses import replace as _dc_replace
+        mesh = make_mesh(MeshConfig(data=1, seq=args.mesh_seq))
+        model_cfg = _dc_replace(model_cfg, seq_shard=True,
+                                sp_attention="ulysses")
     vae_cfg = VAEConfig.tiny() if args.tiny_model else VAEConfig()
     dtype = jnp.bfloat16 if args.dtype == "bf16" else jnp.float32
     model = VideoGPT(model_cfg, dtype=dtype)
@@ -222,7 +232,7 @@ def cmd_generate(args):
         print("WARNING: no --vae_ckpt; using random VAE weights")
 
     pipe = VideoGPTPipeline(model=model, params=params, vae=vae,
-                            vae_params=vae_params)
+                            vae_params=vae_params, mesh=mesh)
     os.makedirs(args.save_dir, exist_ok=True)
     for k, path in enumerate(video_paths):
         frames = read_conditioning(path) if k > 0 else frames
@@ -283,6 +293,14 @@ def cmd_generate_image(args):
                                          videogpt_params_from_torch)
         params = {"params": videogpt_params_from_torch(
             load_reference_checkpoint(args.model_ckpt), model_cfg)}
+    elif args.checkpoint_dir:
+        tree, step = _restore_train_params(
+            args.checkpoint_dir, model_cfg, step=args.step, ema=args.ema)
+        params = jax.tree.map(
+            lambda x: x.astype(dtype)
+            if jnp.issubdtype(x.dtype, jnp.floating) else x, tree)
+        print(f"restored training checkpoint step {step}"
+              f"{' (EMA)' if args.ema else ''} from {args.checkpoint_dir}")
     else:
         from .image_gen import TextRow, single_shot_layout
         from .models.video_gpt import Batch
@@ -471,6 +489,9 @@ def build_parser() -> argparse.ArgumentParser:
                         "predictions (LVM/pipeline.py:491-498); default "
                         "feeds latents back directly")
     g.add_argument("--prediction_type", default="x1", choices=["x1", "v"])
+    g.add_argument("--mesh_seq", type=int, default=1,
+                   help="sequence-parallel serving over this many devices "
+                        "(Ulysses; reference inference uses SP=4)")
     g.add_argument("--dtype", default="bf16", choices=["bf16", "fp32"])
     g.add_argument("--tiny_model", action="store_true")
     g.add_argument("--seed", type=int, default=42)
@@ -487,7 +508,14 @@ def build_parser() -> argparse.ArgumentParser:
     gi.add_argument("--guidance_scale", type=float, default=3.0)
     gi.add_argument("--img_guidance_scale", type=float, default=1.6)
     gi.add_argument("--max_input_image_size", type=int, default=1024)
-    gi.add_argument("--model_ckpt", type=str, default=None)
+    gi.add_argument("--model_ckpt", type=str, default=None,
+                    help="reference-format torch/safetensors checkpoint")
+    gi.add_argument("--checkpoint_dir", type=str, default=None,
+                    help="orbax training checkpoint dir (e.g. a train-image "
+                         "run) — direct train->infer")
+    gi.add_argument("--step", type=int, default=None)
+    gi.add_argument("--ema", action="store_true",
+                    help="use the EMA weights from --checkpoint_dir")
     gi.add_argument("--vae_ckpt", type=str, default=None)
     gi.add_argument("--tokenizer", type=str, default=None,
                     help="HF tokenizer path for text prompts")

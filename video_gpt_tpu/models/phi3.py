@@ -140,18 +140,25 @@ class Phi3Attention(nn.Module):
                     ((0, 0), (0, 0), (0, 0), (0, lane_pad)))
             for x in (k, v))
         cached = cache is not None and cache[0].shape[2] > 0
-        if cached:
-            # cached keys carry RoPE already (positions are constant across
-            # denoise steps within a block); concat along L in heads-major
-            k = jnp.concatenate([cache[0].astype(k.dtype), new_kv[0]],
-                                axis=2)
-            v = jnp.concatenate([cache[1].astype(v.dtype), new_kv[1]],
-                                axis=2)
-        if cfg.sp_attention == "ulysses" and not cached:
+        if cfg.sp_attention == "ulysses" and cached:
+            # inference SP: cache stays head-sharded at rest, only the tail
+            # rides the all_to_alls (falls back to plain concat off-mesh)
+            from ..parallel.ulysses import ulysses_attend_cached
+            out = ulysses_attend_cached(q, new_kv[0], new_kv[1], cache[0],
+                                        cache[1], q_meta, k_meta,
+                                        impl=cfg.attn_impl, bias=bias)
+        elif cfg.sp_attention == "ulysses":
             from ..parallel.ulysses import ulysses_attend
             out = ulysses_attend(q, k, v, q_meta, k_meta,
                                  impl=cfg.attn_impl, bias=bias)
         else:
+            if cached:
+                # cached keys carry RoPE already (positions are constant
+                # across denoise steps within a block); concat heads-major
+                k = jnp.concatenate([cache[0].astype(k.dtype), new_kv[0]],
+                                    axis=2)
+                v = jnp.concatenate([cache[1].astype(v.dtype), new_kv[1]],
+                                    axis=2)
             out = attend(q, k, v, q_meta, k_meta, impl=cfg.attn_impl,
                          bias=bias, kv_heads_major=cached)
         out = out.reshape(b, l, h * d)

@@ -219,6 +219,9 @@ class VideoGPT(nn.Module):
         meta_p = AttnMeta(*(x[:, :lp] for x in batch.meta))
         _, cache = self.llm(emb, batch.pos_ids[:, :lp], meta_p, meta_p,
                             bias=self._maybe_bias(meta_p, meta_p))
+        if self.cfg.seq_shard:
+            from ..parallel.mesh import constrain_cache
+            cache = constrain_cache(cache)
         return cache
 
     def extend_cache(self, batch: Batch, new_latents: jax.Array,
@@ -254,8 +257,12 @@ class VideoGPT(nn.Module):
                              cache=cache,
                              bias=self._maybe_bias(q_meta, k_meta))
         # heads-major stacked cache [layers, B, H_kv, L, D]: append along L
-        return KVCache(jnp.concatenate([cache.k, new_kv.k], axis=3),
-                       jnp.concatenate([cache.v, new_kv.v], axis=3))
+        grown = KVCache(jnp.concatenate([cache.k, new_kv.k], axis=3),
+                        jnp.concatenate([cache.v, new_kv.v], axis=3))
+        if self.cfg.seq_shard:
+            from ..parallel.mesh import constrain_cache
+            grown = constrain_cache(grown)
+        return grown
 
     def decode(self, batch: Batch, noisy_latents: jax.Array, t: jax.Array,
                cache: KVCache, tail_len: int,

@@ -65,6 +65,20 @@ def batch_sharding(mesh: Mesh) -> NamedSharding:
     return NamedSharding(mesh, P(DATA_AXIS, SEQ_AXIS))
 
 
+def constrain_cache(cache, enable: bool = True):
+    """KVCache [layers, B, H_kv, L, Dp]: shard the HEADS over ``seq`` —
+    head-sharded at rest, so the decode step's all_to_alls only ever move
+    the tail (parallel.ulysses.ulysses_attend_cached). No-op off-mesh."""
+    if not enable:
+        return cache
+    try:
+        spec = P(None, None, SEQ_AXIS, None, None)
+        return type(cache)(*(jax.lax.with_sharding_constraint(x, spec)
+                             for x in cache))
+    except Exception:
+        return cache  # no mesh context (single-device path)
+
+
 def constrain_activations(x: jax.Array, enable: bool = True) -> jax.Array:
     """Constrain [B, L, D] activations to P(data, seq, None) when running
     under a mesh; no-op otherwise. Applied at decoder-layer boundaries."""

@@ -39,6 +39,68 @@ def active_seq_degree() -> int:
         return 1
 
 
+def ulysses_attend_cached(q, k_new, v_new, cache_k, cache_v, q_meta, k_meta,
+                          impl: str = "auto", bias=None):
+    """Sequence-parallel CACHED decode/extend attention (inference SP —
+    the reference serves with SP=4, inference_nv.sh:23).
+
+    Layouts: ``q`` [B, Lq, H, D] seq-sharded; ``k_new``/``v_new`` the tail's
+    K/V, heads-major lane-padded [B, Hkv, Lq, Dp], seq-sharded along L;
+    ``cache_k``/``cache_v`` [B, Hkv, Lc, Dp] HEAD-sharded at rest — the
+    prefix cache never crosses the interconnect after prefill. Per step,
+    two all_to_alls swap only the TAIL to head-sharded, the local kernel
+    sees its heads' full keys (cache ++ tail), and the output swaps back.
+    """
+    from ..ops.attention import attend
+    import jax.numpy as jnp
+
+    def local_fn(q, k, v, qm, km, b):
+        return attend(q, k, v, qm, km, impl=impl, bias=b,
+                      kv_heads_major=True)
+
+    sp = active_seq_degree()
+    if sp == 1:
+        k = jnp.concatenate([cache_k.astype(k_new.dtype), k_new], axis=2)
+        v = jnp.concatenate([cache_v.astype(v_new.dtype), v_new], axis=2)
+        return local_fn(q, k, v, q_meta, k_meta, bias)
+
+    mesh = jax.sharding.get_abstract_mesh()
+    b, lq, h, _ = q.shape
+    hkv = k_new.shape[1]
+    dp = int(mesh.shape.get(DATA_AXIS, 1))
+    if lq % sp:
+        raise ValueError(f"Ulysses SP={sp} needs tail length {lq} divisible "
+                         "by the seq axis")
+    if h % sp or hkv % sp:
+        raise ValueError(f"heads ({h}/{hkv}) not divisible by seq axis {sp}")
+
+    a2a = functools.partial(jax.lax.all_to_all, axis_name=SEQ_AXIS,
+                            tiled=True)
+
+    def inner(q, kn, vn, ck, cv, q_meta, k_meta, bias):
+        q = a2a(q, split_axis=2, concat_axis=1)     # [b, Lq, h/sp, d]
+        kn = a2a(kn, split_axis=1, concat_axis=2)   # [b, hkv/sp, Lq, dp]
+        vn = a2a(vn, split_axis=1, concat_axis=2)
+        k = jnp.concatenate([ck.astype(kn.dtype), kn], axis=2)
+        v = jnp.concatenate([cv.astype(vn.dtype), vn], axis=2)
+        out = local_fn(q, k, v, q_meta, k_meta, bias)
+        return a2a(out, split_axis=1, concat_axis=2)
+
+    q_spec = P(DATA_AXIS, SEQ_AXIS, None, None)
+    new_spec = P(DATA_AXIS, None, SEQ_AXIS, None)
+    cache_spec = P(DATA_AXIS, SEQ_AXIS, None, None)
+    meta_spec = lambda tree: jax.tree.map(lambda _: P(DATA_AXIS, None), tree)
+    bias_spec = jax.tree.map(
+        lambda x: P(DATA_AXIS, *([None] * (x.ndim - 1))), bias)
+    return jax.shard_map(
+        inner, mesh=mesh,
+        in_specs=(q_spec, new_spec, new_spec, cache_spec, cache_spec,
+                  meta_spec(q_meta), meta_spec(k_meta), bias_spec),
+        out_specs=q_spec,
+        check_vma=False,
+    )(q, k_new, v_new, cache_k, cache_v, q_meta, k_meta, bias)
+
+
 def ulysses_attend(q, k, v, q_meta, k_meta, impl: str = "auto",
                    bias=None, local_fn: Optional[Callable] = None):
     """Sequence-parallel attention over the ambient mesh.

@@ -39,13 +39,23 @@ class VideoGPTPipeline:
     params: dict
     vae: AutoencoderKL
     vae_params: dict
+    # sequence-parallel serving (reference: inference_nv.sh SP=4): a
+    # Mesh('data','seq') — the model must be built with seq_shard=True and
+    # sp_attention='ulysses' (cls.build does this when mesh is given). The
+    # prefix KV cache lives head-sharded; each denoise step all_to_alls
+    # only the tail (parallel/ulysses.py:ulysses_attend_cached).
+    mesh: Optional[object] = None
 
     @classmethod
     def build(cls, cfg: ModelConfig, params: dict, vae_cfg: VAEConfig,
-              vae_params: dict, dtype=jnp.bfloat16) -> "VideoGPTPipeline":
+              vae_params: dict, dtype=jnp.bfloat16,
+              mesh=None) -> "VideoGPTPipeline":
+        if mesh is not None:
+            cfg = dataclasses.replace(cfg, seq_shard=True,
+                                      sp_attention="ulysses")
         return cls(model=VideoGPT(cfg, dtype=dtype), params=params,
                    vae=AutoencoderKL(vae_cfg, dtype=dtype),
-                   vae_params=vae_params)
+                   vae_params=vae_params, mesh=mesh)
 
     # ---- jitted stages (cached per shape signature) -------------------------
 
@@ -160,7 +170,15 @@ class VideoGPTPipeline:
 
     # ---- public API ----------------------------------------------------------
 
-    def generate(
+    def generate(self, input_frames, **kwargs):
+        """See :meth:`_generate`. Runs under the pipeline's mesh (sequence-
+        parallel serving) when one was configured."""
+        if self.mesh is not None:
+            with jax.sharding.set_mesh(self.mesh):
+                return self._generate(input_frames, **kwargs)
+        return self._generate(input_frames, **kwargs)
+
+    def _generate(
         self,
         input_frames: Sequence,
         gen_nums: Sequence[int] = (1,),
