@@ -144,6 +144,7 @@ class ImageGenTrainer:
         from ..data.prefetch import Prefetcher
         prefetcher = Prefetcher(self._collate, depth=2, workers=1,
                                 start=start_step)
+        writer = ckpt.CheckpointWriter(ckpt_dir)
         t0, running = time.time(), []
         try:
             for step_idx in range(start_step, max_steps):
@@ -163,7 +164,8 @@ class ImageGenTrainer:
                                               step_idx + 1)
                     running, t0 = [], time.time()
                 if (step_idx + 1) % cfg.ckpt_every == 0:
-                    ckpt.save_checkpoint(ckpt_dir, step_idx + 1, state)
+                    writer.save(step_idx + 1, state)  # async
         finally:
             prefetcher.close()
+            writer.close()
         return state

@@ -251,22 +251,26 @@ class Trainer:
         prefetcher = Prefetcher(make_batch, depth=2, workers=1,
                                 start=start_step)
         shutdown = GracefulShutdown()
+        writer = ckpt.CheckpointWriter(ckpt_dir)
 
         t0 = time.time()
         running = []
         try:
             return self._loop(start_step, max_steps, state, prefetcher,
-                              shutdown, ckpt_dir, log_writer, t0, running)
+                              shutdown, writer, log_writer, t0, running)
         finally:
             prefetcher.close()
+            writer.close()  # drain any in-flight async save
 
     def _loop(self, start_step, max_steps, state, prefetcher, shutdown,
-              ckpt_dir, log_writer, t0, running):
+              writer, log_writer, t0, running):
         cfg = self.cfg
+        last_saved = start_step
         for step_idx in range(start_step, max_steps):
             if shutdown.requested.is_set():
-                if ckpt.latest_step(ckpt_dir) != step_idx:
-                    ckpt.save_checkpoint(ckpt_dir, step_idx, state)
+                if last_saved != step_idx:
+                    writer.save(step_idx, state)
+                writer.wait()  # durable before the process exits
                 print(f"shutdown requested: saved checkpoint-{step_idx}",
                       flush=True)
                 break
@@ -298,6 +302,9 @@ class Trainer:
                 running, t0 = [], time.time()
 
             if (step_idx + 1) % cfg.ckpt_every == 0:
-                ckpt.save_checkpoint(ckpt_dir, step_idx + 1, state)
-                print(f"saved checkpoint-{step_idx + 1}", flush=True)
+                # async: serialisation overlaps the next training steps
+                writer.save(step_idx + 1, state)
+                last_saved = step_idx + 1
+                print(f"saving checkpoint-{step_idx + 1} (async)",
+                      flush=True)
         return state

@@ -24,9 +24,42 @@ def _manager(directory: str, keep: int = 5) -> ocp.CheckpointManager:
 
 def save_checkpoint(directory: str, step: int, state: Any,
                     keep: int = 5) -> None:
+    """One-shot blocking save (tests / ad-hoc use; trainers use the async
+    :class:`CheckpointWriter`)."""
     with _manager(directory, keep) as mgr:
         mgr.save(step, args=ocp.args.StandardSave(state))
         mgr.wait_until_finished()
+
+
+class CheckpointWriter:
+    """Persistent manager with ASYNC saves.
+
+    ``save()`` copies the state to host, then serialises on orbax's
+    background thread while the train loop keeps stepping (the reference
+    blocks its loop in ``accelerator.save_state`` every ``ckpt_every``,
+    train_x1_stage1:437-455). The host copy completes before ``save``
+    returns, so the caller may freely donate/overwrite the device buffers.
+    At most one save is in flight; ``close()`` (or the context manager)
+    drains before exit."""
+
+    def __init__(self, directory: str, keep: int = 5):
+        self._mgr = _manager(directory, keep)
+
+    def save(self, step: int, state: Any) -> None:
+        self._mgr.save(step, args=ocp.args.StandardSave(state))
+
+    def wait(self) -> None:
+        self._mgr.wait_until_finished()
+
+    def close(self) -> None:
+        self._mgr.wait_until_finished()
+        self._mgr.close()
+
+    def __enter__(self) -> "CheckpointWriter":
+        return self
+
+    def __exit__(self, *exc) -> None:
+        self.close()
 
 
 def latest_step(directory: str) -> Optional[int]:
