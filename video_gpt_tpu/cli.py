@@ -40,6 +40,7 @@ def cmd_train(args):
         auto_resume=not args.no_auto_resume,
         use_lora=args.use_lora,
         lora_rank=args.lora_rank,
+        sp_attention=args.sp_attention,
         cls_weight=args.cls_weight,
         input_output_return=args.input_output_return,
     )
@@ -454,6 +455,11 @@ def build_parser() -> argparse.ArgumentParser:
     t.add_argument("--mesh_seq", type=int, default=1,
                    help="sequence-parallel mesh axis (Ulysses shard_map "
                         "attention)")
+    t.add_argument("--sp_attention", default="ulysses",
+                   choices=["ulysses", "ring"],
+                   help="SP mechanism when --mesh_seq > 1: Ulysses "
+                        "all-to-all (reference parity) or blockwise ring "
+                        "(SP degree not capped by head count)")
     t.add_argument("--tiny_model", action="store_true",
                    help="tiny config for smoke tests")
     t.add_argument("--seed", type=int, default=0)

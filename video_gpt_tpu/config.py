@@ -42,6 +42,9 @@ class ModelConfig:
     sp_attention: str = "none"  # 'none' (GSPMD decides) | 'ulysses'
                                 # (explicit shard_map all-to-all attention
                                 # over the mesh's seq axis; no-op off-mesh)
+                                # | 'ring' (blockwise K/V rotation via
+                                # ppermute — SP degree not capped by the
+                                # head count; parallel/ring.py)
     scan_unroll: int = 1     # unroll factor for the layer scan (compile time
                              # vs scheduling freedom)
     # in-model LoRA (qkv_proj/o_proj): rank 0 = off. Adapters act INSIDE the
@@ -119,6 +122,8 @@ class TrainConfig:
     gradient_accumulation_steps: int = 1
     mixed_precision: str = "bf16"  # 'bf16' | 'no'
     gradient_checkpointing: bool = True
+    sp_attention: str = "ulysses"  # mechanism when mesh seq > 1:
+                                   # 'ulysses' | 'ring' (see ModelConfig)
     # loss (LVM/train_helper/loss.py:116-119; train_x1_stage1:594)
     input_noise: float = 0.9
     cls_weight: Optional[float] = None

@@ -140,13 +140,20 @@ class Phi3Attention(nn.Module):
                     ((0, 0), (0, 0), (0, 0), (0, lane_pad)))
             for x in (k, v))
         cached = cache is not None and cache[0].shape[2] > 0
-        if cfg.sp_attention == "ulysses" and cached:
+        if cfg.sp_attention in ("ulysses", "ring") and cached:
             # inference SP: cache stays head-sharded at rest, only the tail
-            # rides the all_to_alls (falls back to plain concat off-mesh)
+            # rides the all_to_alls (falls back to plain concat off-mesh).
+            # Ring serves cached decode through the same path — the
+            # ring's win (unbounded SP degree) is a training property.
             from ..parallel.ulysses import ulysses_attend_cached
             out = ulysses_attend_cached(q, new_kv[0], new_kv[1], cache[0],
                                         cache[1], q_meta, k_meta,
                                         impl=cfg.attn_impl, bias=bias)
+        elif cfg.sp_attention == "ring":
+            # blockwise ring over seq: K/V hop neighbour-to-neighbour
+            # (ppermute) — SP degree not capped by head count
+            from ..parallel.ring import ring_attend
+            out = ring_attend(q, k, v, q_meta, k_meta, impl=cfg.attn_impl)
         elif cfg.sp_attention == "ulysses":
             from ..parallel.ulysses import ulysses_attend
             out = ulysses_attend(q, k, v, q_meta, k_meta,

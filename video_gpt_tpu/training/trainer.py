@@ -64,7 +64,7 @@ class Trainer:
         overrides = {}
         if self._sp > 1:
             overrides["seq_shard"] = True
-            overrides["sp_attention"] = "ulysses"
+            overrides["sp_attention"] = train_cfg.sp_attention
         if train_cfg.gradient_checkpointing and not model_cfg.remat:
             overrides["remat"] = True
         if train_cfg.use_lora and not model_cfg.lora_rank:
