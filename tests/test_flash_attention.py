@@ -302,6 +302,27 @@ def test_decode_rank_collapse_bit_exact():
         np.testing.assert_array_equal(columnar, dense)
 
 
+def test_flash_decode_streaming_matches_reference():
+    """k-streaming columnar decode (long-rollout windows) == dense, with
+    k-tiling actually engaged (block_k < Lk) and GQA."""
+    from video_gpt_tpu.models.video_gpt import decode_mask
+    from video_gpt_tpu.ops.flash_attention import flash_mha_decode_streaming
+    n = tokens_per_frame(32, 48)
+    for n_clean, h, hkv in ((3, 4, 4), (2, 4, 2)):
+        layout = frame_block_inference_layout(n_clean, 2, n, use_cfg=False)
+        meta = AttnMeta.from_layout(layout)
+        tail = layout.noisy_tail_len()
+        q_meta = meta.tail(tail)
+        b, l = layout.batch, layout.length
+        q, k, v = _rand_qkv(jax.random.PRNGKey(9), b, tail, l, h, hkv, 96)
+        ref = mha_reference(q, k, v, attention_bias(q_meta, meta))
+        out = flash_mha_decode_streaming(q, k, v, decode_mask(q_meta, meta),
+                                         block_q=96, block_k=128,
+                                         interpret=True)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                                   atol=2e-5, rtol=2e-5)
+
+
 def test_decode_rank_rejects_lossy_layouts():
     from video_gpt_tpu.layout import decode_rank
     n = tokens_per_frame(32, 48)

@@ -92,6 +92,22 @@ def test_sp_pipeline_matches_single_device():
                                    atol=2e-4, rtol=2e-4)
 
 
+def test_cli_generate_mesh_seq_smoke(tmp_path):
+    """`cli generate --mesh_seq 2` wires the mesh through to PNGs."""
+    if len(jax.devices()) < 2:
+        pytest.skip("needs fake CPU devices")
+    from video_gpt_tpu.cli import build_parser
+    args = build_parser().parse_args([
+        "generate", "--video_path", "/root/reference/vids/plane.mp4",
+        "--save_dir", str(tmp_path), "--clean_image_num", "2",
+        "--gen_nums", "1", "--num_inference_steps", "2",
+        "--max_input_image_size", "48", "--tiny_model", "--dtype", "fp32",
+        "--mesh_seq", "2", "--seed", "3"])
+    args.func(args)
+    import os
+    assert any(f.endswith(".png") for f in os.listdir(tmp_path))
+
+
 def test_ulysses_cached_matches_concat():
     """The cached-attention collective path == plain concat attention."""
     from video_gpt_tpu.models.video_gpt import decode_mask

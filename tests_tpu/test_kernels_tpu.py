@@ -104,6 +104,30 @@ def test_decode_rank_kernel_on_chip_long_tail():
     assert err.max() < 3e-2, err.max()
 
 
+def test_streaming_decode_on_chip_rollout_window():
+    """k-streaming columnar decode at long-rollout shapes (Lk ~ 17k, past
+    the resident cap) vs the 7-vector inline streaming path."""
+    from video_gpt_tpu.layout import frame_block_inference_layout
+    from video_gpt_tpu.models.video_gpt import decode_mask
+    from video_gpt_tpu.ops.flash_attention import (
+        _stream_inline_fwd, flash_mha_decode_streaming)
+
+    layout = frame_block_inference_layout(56, 24, N, use_cfg=False)
+    meta = AttnMeta.from_layout(layout)
+    tail = layout.noisy_tail_len()
+    q_meta = meta.tail(tail)
+    b, l = layout.batch, layout.length
+    rng = jax.random.split(jax.random.PRNGKey(5), 3)
+    q = jax.random.normal(rng[0], (b, tail, 4, 96), jnp.bfloat16)
+    k = jax.random.normal(rng[1], (b, l, 4, 96), jnp.bfloat16)
+    v = jax.random.normal(rng[2], (b, l, 4, 96), jnp.bfloat16)
+    out = jax.jit(flash_mha_decode_streaming)(q, k, v,
+                                              decode_mask(q_meta, meta))
+    want, _ = jax.jit(_stream_inline_fwd)(q, k, v, q_meta, meta)
+    err = np.abs(np.asarray(out, np.float32) - np.asarray(want, np.float32))
+    assert err.max() < 3e-2, err.max()
+
+
 def test_streaming_inline_stage4_length_smoke():
     """Stage-4 sequence (80 frames ~= 35.5k tokens): fwd+bwd compiles, runs,
     grads finite — the length the round-1 dense-bias path could never reach

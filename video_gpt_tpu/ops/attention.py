@@ -150,12 +150,22 @@ def attend(q: jax.Array, k: jax.Array, v: jax.Array,
     impls."""
     from .flash_attention import DecodeMask
     if isinstance(bias, DecodeMask):
-        from .flash_attention import (flash_attention_supported,
-                                      flash_mha_decode)
+        from .flash_attention import (INTERPRET, flash_attention_supported,
+                                      flash_mha_decode,
+                                      flash_mha_decode_streaming)
         if impl in ("auto", "pallas") and flash_attention_supported(
                 q, k, v, kv_heads_major):
             return flash_mha_decode(q, k, v, bias,
                                     kv_heads_major=kv_heads_major)
+        hkv = k.shape[1] if kv_heads_major else k.shape[2]
+        if (impl in ("auto", "pallas")
+                and (jax.default_backend() == "tpu" or INTERPRET)
+                and q.shape[2] % hkv == 0 and q.shape[3] <= 128):
+            # beyond the resident cap (long-rollout windows): k-streaming
+            # columnar kernel — 2 int32 vectors instead of the 7-vector
+            # inline rule, and no online-softmax rescaling at all
+            return flash_mha_decode_streaming(q, k, v, bias,
+                                              kv_heads_major=kv_heads_major)
         bias = None  # fall through: derive the dense bias from metadata
     if impl in ("auto", "pallas"):
         try:

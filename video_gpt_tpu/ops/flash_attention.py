@@ -458,6 +458,111 @@ def flash_mha_decode(q, k, v, mask: DecodeMask,
     return out[:, :, :lq, :d].transpose(0, 2, 1, 3)
 
 
+def _stream_decode_kernel(qoff_ref, rank_ref, q_ref, k_ref, v_ref, o_ref,
+                          l_scr, acc_scr, *, kscale: float):
+    """k-STREAMING decode kernel for >8k-key windows (long rollouts):
+    grid (B, H, q-blocks, k-blocks), k innermost, only a [bq, bk] score
+    tile in VMEM — length-unbounded. The unshifted-exp2 trick of
+    :func:`_decode_kernel` pays off double here: with no running max there
+    is no alpha-rescaling pass per tile either — the recurrence is just
+    l += sum(p); acc += p@v in f32 (sums of exp2(clip(s,±80)) over any
+    realistic Lk stay far inside f32 range)."""
+    ki = pl.program_id(3)
+    nk = pl.num_programs(3)
+
+    @pl.when(ki == 0)
+    def _():
+        l_scr[:] = jnp.zeros_like(l_scr)
+        acc_scr[:] = jnp.zeros_like(acc_scr)
+
+    q = q_ref[0, 0]                    # [bq, Dp]
+    k = k_ref[0, 0]                    # [bk, Dp]
+    v = v_ref[0, 0]
+    s = jax.lax.dot_general(
+        q, k, (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32) * kscale
+    qoff = qoff_ref[0]                 # [bq, 1] int32 (sublane layout)
+    rank = rank_ref[0, 0][None, :]     # [1, bk]
+    p = jnp.where(qoff >= rank,
+                  jnp.exp2(jnp.clip(s, -80.0, 80.0)), 0.0)
+    l_scr[:] = l_scr[:] + jnp.broadcast_to(
+        jnp.sum(p, axis=-1, keepdims=True), l_scr.shape)
+    acc_scr[:] = acc_scr[:] + jnp.dot(p.astype(v.dtype), v,
+                                      preferred_element_type=jnp.float32)
+
+    @pl.when(ki == nk - 1)
+    def _():
+        denom = jnp.maximum(l_scr[:, :1], 1e-30)
+        o_ref[0, 0] = (acc_scr[:] / denom).astype(o_ref.dtype)
+
+
+def flash_mha_decode_streaming(q, k, v, mask: DecodeMask,
+                               block_q: int = 512, block_k: int = 512,
+                               interpret: bool = False,
+                               kv_heads_major: bool = False) -> jax.Array:
+    """Length-unbounded columnar-rank decode (fwd-only): the resident
+    :func:`flash_mha_decode` caps at ~8k keys (full key row in VMEM); this
+    streams k-tiles for the 80-frame-window rollouts (Lk to ~24k) where
+    the inference layouts collapse to a per-key rank."""
+    b, lq, h, d = q.shape
+    lk, hkv = _kv_dims(k, kv_heads_major)
+    kscale = d ** -0.5 * 1.4426950408889634  # scale * log2(e)
+    dp = k.shape[-1]
+    bq = min(block_q, _round_up(lq, 8))
+    lqp = _round_up(lq, bq)
+    bk = min(block_k, _round_up(lk, 128))
+    lkp = _round_up(lk, bk)
+    group = h // hkv
+
+    qt = jnp.pad(q.transpose(0, 2, 1, 3),
+                 ((0, 0), (0, 0), (0, lqp - lq), (0, dp - d)))
+    kt = _kv_hm(k, kv_heads_major)
+    vt = _kv_hm(v, kv_heads_major)
+    kt = jnp.pad(kt, ((0, 0), (0, 0), (0, lkp - lk), (0, dp - kt.shape[-1])))
+    vt = jnp.pad(vt, ((0, 0), (0, 0), (0, lkp - lk), (0, dp - vt.shape[-1])))
+    rank = jnp.pad(mask.rank, ((0, 0), (0, lkp - lk)),
+                   constant_values=2**30)[:, None, :]
+    qoff = jnp.pad(mask.q_off, ((0, 0), (0, lqp - lq)),
+                   constant_values=2**30)[:, :, None]   # [B, Lqp, 1]
+
+    grid = (b, h, lqp // bq, lkp // bk)
+    out = pl.pallas_call(
+        functools.partial(_stream_decode_kernel, kscale=kscale),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, bq, 1), lambda bi, hi, qi, ki: (bi, qi, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, bk), lambda bi, hi, qi, ki: (bi, 0, ki),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, bq, dp),
+                         lambda bi, hi, qi, ki: (bi, hi, qi, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, bk, dp),
+                         lambda bi, hi, qi, ki: (bi, hi // group, ki, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, bk, dp),
+                         lambda bi, hi, qi, ki: (bi, hi // group, ki, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, 1, bq, dp),
+                               lambda bi, hi, qi, ki: (bi, hi, qi, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((b, h, lqp, dp), q.dtype),
+        scratch_shapes=[
+            pltpu.VMEM((bq, 128), jnp.float32),   # running denominator
+            pltpu.VMEM((bq, dp), jnp.float32),    # output accumulator
+        ],
+        cost_estimate=pl.CostEstimate(
+            flops=4 * b * h * lqp * lkp * dp,
+            bytes_accessed=(qt.size + kt.size + vt.size
+                            + b * h * lqp * dp) * qt.dtype.itemsize,
+            transcendentals=b * h * lqp * lkp,
+        ),
+        interpret=interpret or INTERPRET,
+    )(qoff, rank, qt, kt, vt)
+    return out[:, :, :lq, :d].transpose(0, 2, 1, 3)
+
+
 def _stream_kernel(bias_ref, q_ref, k_ref, v_ref, o_ref,
                    m_scr, l_scr, acc_scr, *, scale: float):
     """Online-softmax streaming forward: grid (B, H, q-blocks, k-blocks),
