@@ -98,3 +98,34 @@ def test_image_gen_train_step_runs_and_learns(json_dataset, tmp_path):
     assert int(state.step) == 3
     assert all(np.isfinite(np.asarray(jax.device_get(x))).all()
                for x in jax.tree.leaves(state.params))
+
+
+def test_image_gen_trainer_mesh(json_dataset, tmp_path):
+    """Image-gen training over a (2, 2) mesh: ZeRO opt-state over 'data',
+    batch rows sharded, Ulysses over 'seq' (reference: accelerate/FSDP)."""
+    if len(jax.devices()) < 4:
+        pytest.skip("needs fake CPU devices")
+    jf, root = json_dataset
+    from video_gpt_tpu.config import MeshConfig
+    from video_gpt_tpu.parallel.mesh import DATA_AXIS
+    from video_gpt_tpu.training.image_trainer import ImageGenTrainer
+    mcfg = ModelConfig.tiny(attn_impl="reference", pos_embed_max_size=8)
+    tcfg = TrainConfig(mixed_precision="no", gradient_checkpointing=False,
+                       batch_size_per_device=1, log_every=1, ckpt_every=100,
+                       lr=1e-3, lr_warmup_steps=1, auto_resume=False,
+                       results_dir=str(tmp_path / "results_mesh"))
+    trainer = ImageGenTrainer(
+        mcfg, tcfg, jf, root, StubTokenizer(),
+        output_size=(32, 32), input_size=(32, 32),
+        condition_dropout_prob=0.5, max_input_images=1, pad_to=192,
+        vae_cfg=VAEConfig.tiny(), mesh_cfg=MeshConfig(data=2, seq=2),
+        seed=3)
+    assert trainer.model_cfg.sp_attention == "ulysses"
+    state = trainer.run(max_steps=2)
+    assert int(state.step) == 2
+    sharded = []
+    for leaf in jax.tree.leaves(state.opt_state):
+        if hasattr(leaf, "sharding") and hasattr(leaf.sharding, "spec"):
+            sharded.append(DATA_AXIS in jax.tree.leaves(
+                tuple(leaf.sharding.spec)))
+    assert any(sharded), "no optimizer-state leaf sharded over 'data'"

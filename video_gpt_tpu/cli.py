@@ -396,6 +396,10 @@ def cmd_train_image(args):
                                                 "tensorboard_log"))
         except Exception:
             pass
+    mesh_cfg = None
+    if args.mesh_data * args.mesh_seq > 1:
+        from .config import MeshConfig
+        mesh_cfg = MeshConfig(data=args.mesh_data, seq=args.mesh_seq)
     trainer = ImageGenTrainer(
         _model_cfg(args), cfg, args.json_file, args.image_root, tokenizer,
         output_size=(args.height, args.width),
@@ -403,7 +407,8 @@ def cmd_train_image(args):
                     if args.input_height else None),
         condition_dropout_prob=args.condition_dropout_prob,
         max_input_images=args.max_input_images,
-        vae_cfg=vae_cfg, vae_params=vae_params, seed=args.seed)
+        vae_cfg=vae_cfg, vae_params=vae_params, mesh_cfg=mesh_cfg,
+        seed=args.seed)
     trainer.run(args.max_steps, log_writer=writer)
 
 
@@ -556,6 +561,10 @@ def build_parser() -> argparse.ArgumentParser:
     ti.add_argument("--use_ema", action="store_true")
     ti.add_argument("--no_auto_resume", action="store_true")
     ti.add_argument("--vae_ckpt", type=str, default=None)
+    ti.add_argument("--mesh_data", type=int, default=1,
+                    help="data-parallel mesh axis (batch rows + ZeRO)")
+    ti.add_argument("--mesh_seq", type=int, default=1,
+                    help="sequence-parallel mesh axis")
     ti.add_argument("--tiny_model", action="store_true")
     ti.add_argument("--report_to", default="none",
                     choices=["none", "tensorboard"])

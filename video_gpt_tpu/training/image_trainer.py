@@ -19,7 +19,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ..config import ModelConfig, TrainConfig
+from ..config import MeshConfig, ModelConfig, TrainConfig
 from ..data.image_text import (ImageGenTrainBatch, ImageTextDataset,
                                collate_image_gen)
 from ..image_gen import ImageGenProcessor
@@ -45,13 +45,27 @@ class ImageGenTrainer:
         vae_cfg: VAEConfig = VAEConfig(),
         vae_params=None,
         init_params=None,
+        mesh_cfg: Optional[MeshConfig] = None,
         seed: int = 0,
     ):
         self.model_cfg = model_cfg
         self.cfg = train_cfg
         dtype = jnp.bfloat16 if train_cfg.mixed_precision == "bf16" \
             else jnp.float32
+        # mesh: same data x seq wiring as the video Trainer (the reference
+        # trains OmniGen under accelerate/FSDP; here it's one flag)
+        self.mesh = None
+        self._dp = 1
+        self._sp = 1
+        if mesh_cfg is not None and mesh_cfg.num_devices > 1:
+            from ..parallel.mesh import make_mesh
+            self.mesh = make_mesh(mesh_cfg)
+            self._dp = mesh_cfg.data
+            self._sp = mesh_cfg.seq
         overrides = {}
+        if self._sp > 1:
+            overrides["seq_shard"] = True
+            overrides["sp_attention"] = train_cfg.sp_attention
         if train_cfg.gradient_checkpointing and not model_cfg.remat:
             overrides["remat"] = True
         if overrides:
@@ -84,13 +98,56 @@ class ImageGenTrainer:
         self.pad_to = pad_to if pad_to is not None else min(
             train_cfg.max_input_length_limit,
             512 + max_input_images * n_region + 1 + n_out)
+        if self._sp > 1:  # Ulysses/ring need L divisible by the seq axis
+            self.pad_to += -self.pad_to % self._sp
 
     def _collate(self, idx: int) -> ImageGenTrainBatch:
-        b = self.cfg.batch_size_per_device
+        b = self.cfg.batch_size_per_device * self._dp
         samples = [self.dataset.sample((idx * b + i) % len(self.dataset))
                    for i in range(b)]
         return collate_image_gen(samples, self.pad_to, self.max_input_images,
                                  token_ids=self.model_cfg.token_ids)
+
+    def _place_state(self, state: TrainState) -> TrainState:
+        """Params replicated; optimizer state ZeRO-sharded over 'data'."""
+        if self.mesh is None:
+            return state
+        from ..parallel.mesh import replicated, zero_sharding
+        repl = replicated(self.mesh)
+        state = jax.device_put(state, jax.tree.map(
+            lambda _: repl, state, is_leaf=lambda x: hasattr(x, "shape")))
+        return state._replace(opt_state=jax.device_put(
+            state.opt_state, zero_sharding(state.opt_state, self.mesh)))
+
+    def _shard_batch(self, tb: ImageGenTrainBatch) -> ImageGenTrainBatch:
+        """[B, L] token arrays over (data, seq); image rows over data."""
+        if self.mesh is None:
+            return tb
+        from jax.sharding import NamedSharding, PartitionSpec as P
+        from ..parallel.mesh import DATA_AXIS, SEQ_AXIS
+        tok = NamedSharding(self.mesh, P(DATA_AXIS, SEQ_AXIS))
+        row = NamedSharding(self.mesh, P(DATA_AXIS))
+        repl = NamedSharding(self.mesh, P())
+        b = self.cfg.batch_size_per_device * self._dp
+        l = tb.inputs.batch.input_ids.shape[1]
+
+        def put(x):
+            if not hasattr(x, "ndim"):
+                return x
+            if x.ndim == 2 and x.shape[:2] == (b, l):
+                return jax.device_put(x, tok)
+            return jax.device_put(x, repl)
+
+        inputs = jax.tree.map(put, tb.inputs)
+        out_px = jax.device_put(
+            tb.out_pixels,
+            row if tb.out_pixels.shape[0] % self._dp == 0 else repl)
+        in_px = jax.device_put(
+            tb.in_pixels,
+            row if tb.in_pixels.shape[0] % self._dp == 0
+            and tb.in_pixels.shape[0] else repl)
+        return tb._replace(inputs=inputs, out_pixels=out_px,
+                           in_pixels=in_px)
 
     def _build(self, tb: ImageGenTrainBatch):
         h, w = self.output_size
@@ -128,9 +185,16 @@ class ImageGenTrainer:
             return inner(state, r_loss, inputs)
 
         self._jit_step = jax.jit(full_step, donate_argnums=(0,))
-        return state
+        return self._place_state(state)
 
     def run(self, max_steps: int, log_writer=None) -> TrainState:
+        import contextlib
+        with contextlib.ExitStack() as stack:
+            if self.mesh is not None:
+                stack.enter_context(jax.sharding.set_mesh(self.mesh))
+            return self._run_inner(max_steps, log_writer)
+
+    def _run_inner(self, max_steps: int, log_writer=None) -> TrainState:
         cfg = self.cfg
         os.makedirs(cfg.results_dir, exist_ok=True)
         ckpt_dir = os.path.join(cfg.results_dir, "checkpoints")
@@ -139,6 +203,7 @@ class ImageGenTrainer:
         start_step = 0
         if cfg.auto_resume and ckpt.latest_step(ckpt_dir) is not None:
             state, start_step = ckpt.restore_checkpoint(ckpt_dir, state)
+            state = self._place_state(state)
             print(f"resumed from step {start_step}")
 
         from ..data.prefetch import Prefetcher
@@ -148,7 +213,7 @@ class ImageGenTrainer:
         t0, running = time.time(), []
         try:
             for step_idx in range(start_step, max_steps):
-                tb = prefetcher.get()
+                tb = self._shard_batch(prefetcher.get())
                 r = jax.random.fold_in(self.rng, step_idx)
                 state, metrics = self._jit_step(state, self._vae_params, r,
                                                 tb)
