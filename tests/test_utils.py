@@ -74,6 +74,35 @@ def test_orbax_direct_inference_restore(tmp_path):
     assert abs(max_tree_diff(params, ema_tree) - 1.0) < 1e-6
 
 
+def test_cli_train_then_generate_from_checkpoint(tmp_path):
+    """End-to-end: `cli train` (orbax checkpoint) -> `cli generate
+    --checkpoint_dir` without any export step."""
+    import os
+
+    from video_gpt_tpu.cli import build_parser
+
+    results = tmp_path / "run"
+    args = build_parser().parse_args([
+        "train", "--video_dir_path", "/root/reference/vids",
+        "--results_dir", str(results), "--max_steps", "2",
+        "--frame_num", "2", "--ckpt_every", "2", "--log_every", "1",
+        "--mixed_precision", "no", "--tiny_model",
+        "--target_resolution", "48", "64", "--report_to", "none"])
+    args.func(args)
+    ckpt_dir = results / "checkpoints"
+    assert (ckpt_dir / "2").exists()
+
+    out_dir = tmp_path / "frames"
+    args = build_parser().parse_args([
+        "generate", "--video_path", "/root/reference/vids/plane.mp4",
+        "--checkpoint_dir", str(ckpt_dir), "--save_dir", str(out_dir),
+        "--clean_image_num", "2", "--gen_nums", "1",
+        "--num_inference_steps", "2", "--max_input_image_size", "48",
+        "--tiny_model", "--dtype", "fp32", "--seed", "5"])
+    args.func(args)
+    assert any(f.endswith(".png") for f in os.listdir(out_dir))
+
+
 def test_checkpoint_export_roundtrip(tmp_path):
     """orbax checkpoint -> reference safetensors -> importer round trip."""
     from video_gpt_tpu.config import TrainConfig
