@@ -92,6 +92,32 @@ def test_sp_pipeline_matches_single_device():
                                    atol=2e-4, rtol=2e-4)
 
 
+def test_ulysses_uncached_self_pads_awkward_length():
+    """The uncond CFG row at its natural (non-multiple) length: the
+    uncached wrapper pads to the seq multiple and crops."""
+    from video_gpt_tpu.models.video_gpt import decode_mask
+    from video_gpt_tpu.ops.attention import AttnMeta, attend
+    from video_gpt_tpu.parallel.ulysses import ulysses_attend
+
+    mesh = _mesh(seq=4)
+    n = tokens_per_frame(32, 32)
+    layout = frame_block_inference_layout(0, 1, n, use_cfg=False)  # L=6
+    meta = AttnMeta.from_layout(layout)
+    b, l, h, d = layout.batch, layout.length, 4, 64
+    assert l % 4 != 0  # the point of the test
+    rng = np.random.RandomState(5)
+    q = jnp.asarray(rng.randn(b, l, h, d), jnp.float32)
+    k = jnp.asarray(rng.randn(b, l, h, d), jnp.float32)
+    v = jnp.asarray(rng.randn(b, l, h, d), jnp.float32)
+    dm = decode_mask(meta, meta)
+    want = attend(q, k, v, meta, meta, impl="reference", bias=dm)
+    with jax.sharding.set_mesh(mesh):
+        got = jax.jit(lambda q, k, v: ulysses_attend(
+            q, k, v, meta, meta, impl="reference", bias=dm))(q, k, v)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               atol=1e-5, rtol=1e-5)
+
+
 def test_cli_generate_mesh_seq_smoke(tmp_path):
     """`cli generate --mesh_seq 2` wires the mesh through to PNGs."""
     if len(jax.devices()) < 2:
@@ -108,14 +134,19 @@ def test_cli_generate_mesh_seq_smoke(tmp_path):
     assert any(f.endswith(".png") for f in os.listdir(tmp_path))
 
 
-def test_ulysses_cached_matches_concat():
-    """The cached-attention collective path == plain concat attention."""
+@pytest.mark.parametrize("n_gen", [2, 1])
+def test_ulysses_cached_matches_concat(n_gen):
+    """The cached-attention collective path == plain concat attention.
+
+    n_gen=2 -> tail 12 (divisible by sp=4); n_gen=1 -> tail 6, exercising
+    the wrapper's self-padding (inference layouts come at their natural
+    lengths; the reference serves SP=4 regardless of shape)."""
     from video_gpt_tpu.models.video_gpt import decode_mask
     from video_gpt_tpu.ops.attention import AttnMeta, attend
 
     mesh = _mesh(seq=4)
     n = tokens_per_frame(32, 32)  # 4 tokens/frame at patch 2? -> layout len
-    layout = frame_block_inference_layout(2, 2, n, use_cfg=False)
+    layout = frame_block_inference_layout(2, n_gen, n, use_cfg=False)
     meta = AttnMeta.from_layout(layout)
     tail = layout.noisy_tail_len()
     q_meta = meta.tail(tail)

@@ -90,14 +90,24 @@ def test_ulysses_flash_kernel_in_shard_map():
                                atol=2e-2, rtol=2e-2)  # bf16 kernel internals
 
 
-def test_ulysses_rejects_undivisible_lengths():
+def test_ulysses_self_pads_undivisible_lengths():
+    """Self-attention at a natural (non-multiple) length self-pads to the
+    seq multiple and still equals the dense oracle (inference layouts are
+    not collate-padded); genuinely unpaddable cross-attention still raises."""
     mesh = _mesh()
     _, meta, q, k, v = _layout_and_qkv(sp=1)  # unpadded: L % 4 != 0
     if q.shape[1] % 4 == 0:
         pytest.skip("layout happened to divide")
+    want = attend(q, k, v, meta, meta, impl="reference")
     with jax.sharding.set_mesh(mesh):
+        got = jax.jit(lambda q, k, v: ulysses_attend(
+            q, k, v, meta, meta, impl="reference"))(q, k, v)
         with pytest.raises(ValueError, match="divisible"):
-            ulysses_attend(q, k, v, meta, meta, impl="reference")
+            # Lq != Lk with an odd length cannot be padded consistently
+            ulysses_attend(q[:, :-1], k, v, meta.tail(q.shape[1] - 1),
+                           meta, impl="reference")
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               atol=1e-5, rtol=1e-5)
 
 
 def test_ulysses_noop_without_mesh():

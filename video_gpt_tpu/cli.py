@@ -101,18 +101,24 @@ def _restore_train_params(checkpoint_dir, model_cfg, step=None, ema=False,
     lay = build_layout([RowSpec((1, 1), "training")], 4)
     z = jnp.zeros((2, 4, 4, model_cfg.in_channels))
     cl = jnp.zeros((1, 4, 4, model_cfg.in_channels))
+    # the restore target stays ABSTRACT (eval_shape all the way): a
+    # concrete TrainState would eagerly allocate f32 params + AdamW m/v
+    # (+EMA) — ~60G at 3.8B scale — just to be overwritten. Restore lands
+    # on HOST memory; callers move (only) the params to the accelerator.
     params = jax.eval_shape(
         lambda: model.init(jax.random.PRNGKey(0), Batch.from_layout(lay), z,
                            jnp.zeros((2,)), cl))
-    params = jax.tree.map(lambda s: jnp.zeros(s.shape, s.dtype), params)
     # the checkpoint may or may not carry EMA params; probe both structures
     err = None
+    cpu = jax.devices("cpu")[0]
     for with_ema in ((True,) if ema else (True, False)):
-        state_like = init_train_state(model, params,
-                                      TrainConfig(use_ema=with_ema))
+        state_like = jax.eval_shape(
+            lambda p, we=with_ema: init_train_state(
+                model, p, TrainConfig(use_ema=we)), params)
         try:
-            state, step = ckpt.restore_checkpoint(checkpoint_dir, state_like,
-                                                  step=step)
+            with jax.default_device(cpu):
+                state, step = ckpt.restore_checkpoint(
+                    checkpoint_dir, state_like, step=step)
             break
         except FileNotFoundError:
             raise

@@ -369,7 +369,7 @@ def _decode_kernel(qoff_ref, rank_ref, q_ref, k_ref, v_ref, o_ref, *,
     rank = rank_ref[0, 0][None, :]     # [1, Lkp] int32
     p = jnp.where(qoff >= rank,
                   jnp.exp2(jnp.clip(s, -80.0, 80.0)), 0.0)
-    l = jnp.sum(p, axis=-1, keepdims=True)
+    l = jnp.maximum(jnp.sum(p, axis=-1, keepdims=True), 1e-30)
     acc = jnp.dot(p.astype(v.dtype), v,
                   preferred_element_type=jnp.float32)
     o_ref[0, 0] = (acc / l).astype(o_ref.dtype)

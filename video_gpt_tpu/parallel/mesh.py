@@ -65,6 +65,20 @@ def batch_sharding(mesh: Mesh) -> NamedSharding:
     return NamedSharding(mesh, P(DATA_AXIS, SEQ_AXIS))
 
 
+def place_train_state(state, mesh: Mesh):
+    """device_put a TrainState in ONE pass with its final shardings
+    (params/EMA replicated, optimizer state ZeRO-sharded over 'data').
+    A replicate-then-reshard two-step would transiently materialise the
+    full optimizer state on every device — an OOM in exactly the regime
+    ZeRO exists for."""
+    repl = replicated(mesh)
+    shardings = jax.tree.map(lambda _: repl, state,
+                             is_leaf=lambda x: hasattr(x, "shape"))
+    shardings = shardings._replace(
+        opt_state=zero_sharding(state.opt_state, mesh))
+    return jax.device_put(state, shardings)
+
+
 def constrain_cache(cache, enable: bool = True):
     """KVCache [layers, B, H_kv, L, Dp]: shard the HEADS over ``seq`` —
     head-sharded at rest, so the decode step's all_to_alls only ever move

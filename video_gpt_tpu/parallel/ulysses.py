@@ -39,6 +39,28 @@ def active_seq_degree() -> int:
         return 1
 
 
+# pad fills per AttnMeta field: padded QUERIES act as pad rows (cropped
+# after), padded KEYS are never visible — same convention as the kernels'
+# internal padding (ops/flash_attention._padded_visibility)
+_META_FILLS = (0, 2**30, -1, 0, -2, 0, 1)
+
+
+def _pad_meta(meta, pad: int):
+    import jax.numpy as jnp
+    from ..ops.attention import AttnMeta
+    return AttnMeta(*(jnp.pad(x, ((0, 0), (0, pad)), constant_values=f)
+                      for x, f in zip(meta, _META_FILLS)))
+
+
+def _pad_decode_mask(mask, pad: int):
+    import jax.numpy as jnp
+    return type(mask)(
+        rank=jnp.pad(mask.rank, ((0, 0), (0, pad)),
+                     constant_values=2**30),      # padded keys invisible
+        q_off=jnp.pad(mask.q_off, ((0, 0), (0, pad)),
+                      constant_values=2**30))     # padded queries see all
+
+
 def ulysses_attend_cached(q, k_new, v_new, cache_k, cache_v, q_meta, k_meta,
                           impl: str = "auto", bias=None):
     """Sequence-parallel CACHED decode/extend attention (inference SP —
@@ -68,11 +90,29 @@ def ulysses_attend_cached(q, k_new, v_new, cache_k, cache_v, q_meta, k_meta,
     b, lq, h, _ = q.shape
     hkv = k_new.shape[1]
     dp = int(mesh.shape.get(DATA_AXIS, 1))
-    if lq % sp:
-        raise ValueError(f"Ulysses SP={sp} needs tail length {lq} divisible "
-                         "by the seq axis")
     if h % sp or hkv % sp:
         raise ValueError(f"heads ({h}/{hkv}) not divisible by seq axis {sp}")
+    if b % dp:
+        raise ValueError(f"batch {b} not divisible by data axis {dp}")
+    pad = -lq % sp
+    if pad:
+        # inference layouts come at their natural lengths (e.g. a 222-token
+        # one-frame tail): pad the TAIL to the seq multiple here — padded
+        # queries are cropped below, padded keys are never visible
+        if bias is not None and not hasattr(bias, "rank"):
+            raise ValueError(
+                "cannot pad a precomputed dense bias to the seq multiple; "
+                "pass metadata or a DecodeMask (maybe_bias returns None "
+                "under seq_shard)")
+        q = jnp.pad(q, ((0, 0), (0, pad), (0, 0), (0, 0)))
+        k_new = jnp.pad(k_new, ((0, 0), (0, 0), (0, pad), (0, 0)))
+        v_new = jnp.pad(v_new, ((0, 0), (0, 0), (0, pad), (0, 0)))
+        q_meta = _pad_meta(q_meta, pad)
+        k_meta = _pad_meta(k_meta, pad)  # the tail sits at the END of Lk
+        if bias is not None:
+            bias = _pad_decode_mask(bias, pad)
+    lq_out = lq
+    lq = lq + pad
 
     a2a = functools.partial(jax.lax.all_to_all, axis_name=SEQ_AXIS,
                             tiled=True)
@@ -92,13 +132,20 @@ def ulysses_attend_cached(q, k_new, v_new, cache_k, cache_v, q_meta, k_meta,
     meta_spec = lambda tree: jax.tree.map(lambda _: P(DATA_AXIS, None), tree)
     bias_spec = jax.tree.map(
         lambda x: P(DATA_AXIS, *([None] * (x.ndim - 1))), bias)
-    return jax.shard_map(
+    out = jax.shard_map(
         inner, mesh=mesh,
         in_specs=(q_spec, new_spec, new_spec, cache_spec, cache_spec,
                   meta_spec(q_meta), meta_spec(k_meta), bias_spec),
         out_specs=q_spec,
         check_vma=False,
     )(q, k_new, v_new, cache_k, cache_v, q_meta, k_meta, bias)
+    if pad:
+        # an odd-length crop cannot stay evenly seq-sharded: replicate L
+        # first (downstream layers re-constrain activations themselves)
+        out = jax.lax.with_sharding_constraint(
+            out, P(DATA_AXIS, None, None, None))
+        out = out[:, :lq_out]
+    return out
 
 
 def ulysses_attend(q, k, v, q_meta, k_meta, impl: str = "auto",
@@ -121,18 +168,33 @@ def ulysses_attend(q, k, v, q_meta, k_meta, impl: str = "auto",
         return local_fn(q, k, v, q_meta, k_meta, bias)
 
     mesh = jax.sharding.get_abstract_mesh()
+    import jax.numpy as jnp
     b, lq, h, _ = q.shape
     lk, hkv = k.shape[1], k.shape[2]
     dp = int(mesh.shape.get(DATA_AXIS, 1))
-    if lq % sp or lk % sp:
-        raise ValueError(
-            f"Ulysses SP={sp} needs sequence lengths divisible by the seq "
-            f"axis (got Lq={lq}, Lk={lk}); pad the layout "
-            "(collate(..., sp_multiple=seq))")
     if h % sp or hkv % sp:
         raise ValueError(f"heads ({h}/{hkv}) not divisible by seq axis {sp}")
     if b % dp:
         raise ValueError(f"batch {b} not divisible by data axis {dp}")
+    pad = -lq % sp
+    if (lq % sp or lk % sp) and (
+            lq != lk or (bias is not None and not hasattr(bias, "rank"))):
+        # training batches are padded upstream (collate(sp_multiple=seq));
+        # only self-attention with metadata/DecodeMask masks self-pads here
+        raise ValueError(
+            f"Ulysses SP={sp} needs sequence lengths divisible by the seq "
+            f"axis (got Lq={lq}, Lk={lk}); pad the layout "
+            "(collate(..., sp_multiple=seq))")
+    if pad:
+        # inference self-attention at its natural length (e.g. the uncond
+        # CFG row): pad rows here, crop after (see ulysses_attend_cached)
+        zero4 = ((0, 0), (0, pad), (0, 0), (0, 0))
+        q, k, v = (jnp.pad(x, zero4) for x in (q, k, v))
+        q_meta = _pad_meta(q_meta, pad)
+        k_meta = _pad_meta(k_meta, pad)
+        if bias is not None:
+            bias = _pad_decode_mask(bias, pad)
+    lq_out = lq
 
     a2a = functools.partial(jax.lax.all_to_all, axis_name=SEQ_AXIS,
                             tiled=True)
@@ -149,10 +211,16 @@ def ulysses_attend(q, k, v, q_meta, k_meta, impl: str = "auto",
     meta_spec = lambda tree: jax.tree.map(lambda _: P(DATA_AXIS, None), tree)
     bias_spec = jax.tree.map(
         lambda x: P(DATA_AXIS, *([None] * (x.ndim - 1))), bias)
-    return jax.shard_map(
+    out = jax.shard_map(
         inner, mesh=mesh,
         in_specs=(qkv_spec, qkv_spec, qkv_spec,
                   meta_spec(q_meta), meta_spec(k_meta), bias_spec),
         out_specs=qkv_spec,
         check_vma=False,
     )(q, k, v, q_meta, k_meta, bias)
+    if pad:
+        # see ulysses_attend_cached: replicate L before the odd-length crop
+        out = jax.lax.with_sharding_constraint(
+            out, P(DATA_AXIS, None, None, None))
+        out = out[:, :lq_out]
+    return out

@@ -95,11 +95,13 @@ class ImageGenTrainer:
         n_out = (output_size[0] // 16) * (output_size[1] // 16)
         n_region = ((self.input_size[0] // 16)
                     * (self.input_size[1] // 16))
-        self.pad_to = pad_to if pad_to is not None else min(
-            train_cfg.max_input_length_limit,
-            512 + max_input_images * n_region + 1 + n_out)
+        limit = train_cfg.max_input_length_limit
         if self._sp > 1:  # Ulysses/ring need L divisible by the seq axis
-            self.pad_to += -self.pad_to % self._sp
+            limit -= limit % self._sp
+        self.pad_to = pad_to if pad_to is not None else min(
+            limit, 512 + max_input_images * n_region + 1 + n_out)
+        if self._sp > 1:
+            self.pad_to += -self.pad_to % self._sp  # still <= limit
 
     def _collate(self, idx: int) -> ImageGenTrainBatch:
         b = self.cfg.batch_size_per_device * self._dp
@@ -112,12 +114,8 @@ class ImageGenTrainer:
         """Params replicated; optimizer state ZeRO-sharded over 'data'."""
         if self.mesh is None:
             return state
-        from ..parallel.mesh import replicated, zero_sharding
-        repl = replicated(self.mesh)
-        state = jax.device_put(state, jax.tree.map(
-            lambda _: repl, state, is_leaf=lambda x: hasattr(x, "shape")))
-        return state._replace(opt_state=jax.device_put(
-            state.opt_state, zero_sharding(state.opt_state, self.mesh)))
+        from ..parallel.mesh import place_train_state
+        return place_train_state(state, self.mesh)
 
     def _shard_batch(self, tb: ImageGenTrainBatch) -> ImageGenTrainBatch:
         """[B, L] token arrays over (data, seq); image rows over data."""

@@ -127,12 +127,8 @@ class Trainer:
         """Params replicated; optimizer state ZeRO-sharded over 'data'."""
         if self.mesh is None:
             return state
-        from ..parallel.mesh import replicated, zero_sharding
-        repl = replicated(self.mesh)
-        state = jax.device_put(state, jax.tree.map(
-            lambda _: repl, state, is_leaf=lambda x: hasattr(x, "shape")))
-        return state._replace(opt_state=jax.device_put(
-            state.opt_state, zero_sharding(state.opt_state, self.mesh)))
+        from ..parallel.mesh import place_train_state
+        return place_train_state(state, self.mesh)
 
     def _shard_batch(self, tb: TrainBatch) -> TrainBatch:
         """[B, L] token arrays over (data, seq); pixel rows over data."""
@@ -265,13 +261,15 @@ class Trainer:
     def _loop(self, start_step, max_steps, state, prefetcher, shutdown,
               writer, log_writer, t0, running):
         cfg = self.cfg
-        last_saved = start_step
+        # a checkpoint for start_step exists only on a resumed run
+        last_saved = start_step if start_step > 0 else None
         for step_idx in range(start_step, max_steps):
             if shutdown.requested.is_set():
                 if last_saved != step_idx:
                     writer.save(step_idx, state)
+                    last_saved = step_idx
                 writer.wait()  # durable before the process exits
-                print(f"shutdown requested: saved checkpoint-{step_idx}",
+                print(f"shutdown requested: checkpoint-{step_idx} durable",
                       flush=True)
                 break
             tb = self._shard_batch(prefetcher.get())
