@@ -323,6 +323,39 @@ def test_flash_decode_streaming_matches_reference():
                                    atol=2e-5, rtol=2e-5)
 
 
+def test_kv_heads_major_matches_tokens_major():
+    """The production cached-inference K/V layout ([B,Hkv,L,128] heads-major
+    lane-padded, phi3.KVCache) through each kernel == tokens-major."""
+    from video_gpt_tpu.models.video_gpt import decode_mask
+    from video_gpt_tpu.ops import flash_attention as fa
+    n = tokens_per_frame(32, 48)
+    layout = frame_block_inference_layout(3, 2, n, use_cfg=False)
+    meta = AttnMeta.from_layout(layout)
+    tail = layout.noisy_tail_len()
+    q_meta = meta.tail(tail)
+    b, l, h, d = layout.batch, layout.length, 4, 96
+    q, k, v = _rand_qkv(jax.random.PRNGKey(11), b, tail, l, h, h, d)
+    dp = d + (-d % 128)
+    pad = ((0, 0), (0, 0), (0, 0), (0, dp - d))
+    k_hm = jnp.pad(k.transpose(0, 2, 1, 3), pad)
+    v_hm = jnp.pad(v.transpose(0, 2, 1, 3), pad)
+    dm = decode_mask(q_meta, meta)
+
+    cases = [
+        (lambda k_, v_, hm: fa.flash_mha_decode(
+            q, k_, v_, dm, interpret=True, kv_heads_major=hm)),
+        (lambda k_, v_, hm: fa.flash_mha(
+            q, k_, v_, q_meta, meta, interpret=True, kv_heads_major=hm)),
+        (lambda k_, v_, hm: fa.flash_mha_decode_streaming(
+            q, k_, v_, dm, block_k=128, interpret=True, kv_heads_major=hm)),
+    ]
+    for fn in cases:
+        want = fn(k, v, False)
+        got = fn(k_hm, v_hm, True)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                   atol=2e-5, rtol=2e-5)
+
+
 def test_decode_rank_rejects_lossy_layouts():
     from video_gpt_tpu.layout import decode_rank
     n = tokens_per_frame(32, 48)

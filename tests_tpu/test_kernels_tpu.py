@@ -4,6 +4,8 @@ CPU interpret-mode tests (tests/test_flash_attention.py) check the math;
 these check what interpret mode cannot: mosaic lowering, VMEM fit at
 production block sizes, and bf16 accumulation error staying in budget.
 """
+import functools
+
 import numpy as np
 
 import jax
@@ -102,6 +104,36 @@ def test_decode_rank_kernel_on_chip_long_tail():
     ref = mha_reference(q, k, v, attention_bias(q_meta, meta))
     err = np.abs(np.asarray(out, np.float32) - np.asarray(ref, np.float32))
     assert err.max() < 3e-2, err.max()
+
+
+def test_kv_heads_major_cache_layout_on_chip():
+    """The heads-major lane-padded cache layout through the resident decode
+    kernel on real mosaic == tokens-major (the CPU suite runs the cached
+    pipeline through the dense path, so this is the only automated check of
+    the layout the production decode step actually feeds the kernel)."""
+    from video_gpt_tpu.layout import frame_block_inference_layout
+    from video_gpt_tpu.models.video_gpt import decode_mask
+    from video_gpt_tpu.ops.flash_attention import flash_mha_decode
+
+    layout = frame_block_inference_layout(8, 16, N, use_cfg=False)
+    meta = AttnMeta.from_layout(layout)
+    tail = layout.noisy_tail_len()
+    q_meta = meta.tail(tail)
+    b, l, h, d = layout.batch, layout.length, 4, 96
+    rng = jax.random.split(jax.random.PRNGKey(8), 3)
+    q = jax.random.normal(rng[0], (b, tail, h, d), jnp.bfloat16)
+    k = jax.random.normal(rng[1], (b, l, h, d), jnp.bfloat16)
+    v = jax.random.normal(rng[2], (b, l, h, d), jnp.bfloat16)
+    dp = d + (-d % 128)
+    pad = ((0, 0), (0, 0), (0, 0), (0, dp - d))
+    k_hm = jnp.pad(k.transpose(0, 2, 1, 3), pad)
+    v_hm = jnp.pad(v.transpose(0, 2, 1, 3), pad)
+    dm = decode_mask(q_meta, meta)
+    want = jax.jit(flash_mha_decode)(q, k, v, dm)
+    got = jax.jit(functools.partial(flash_mha_decode, kv_heads_major=True))(
+        q, k_hm, v_hm, dm)
+    err = np.abs(np.asarray(got, np.float32) - np.asarray(want, np.float32))
+    assert err.max() < 1e-2, err.max()
 
 
 def test_streaming_decode_on_chip_rollout_window():

@@ -79,21 +79,20 @@ def cmd_train(args):
 
 
 def _restore_train_params(checkpoint_dir, model_cfg, step=None, ema=False,
-                          input_head=False):
+                          input_head=False, cast_dtype=None):
     """Restore the (EMA) params of an orbax training checkpoint.
 
-    Shared by ``export`` and ``generate --checkpoint_dir`` so a training run
-    feeds inference DIRECTLY (reference: train->infer is direct, EMA copy at
-    train_x1_stage1:228,407) without a safetensors round-trip.
-    Returns ``({"params": tree}, step)``.
+    Shared by ``export`` and ``generate[-image] --checkpoint_dir`` so a
+    training run feeds inference DIRECTLY (reference: train->infer is
+    direct, EMA copy at train_x1_stage1:228,407) without a safetensors
+    round-trip. Returns ``({"params": tree}, step)``; ``cast_dtype`` casts
+    the floating leaves (the inference dtype) and logs the restore.
     """
     import jax
     import jax.numpy as jnp
 
-    from .config import TrainConfig
     from .layout import RowSpec, build_layout
     from .models.video_gpt import Batch, VideoGPT
-    from .training.train_state import init_train_state
     from .utils import checkpoint as ckpt
 
     model = VideoGPT(model_cfg, dtype=jnp.float32, train_init=True,
@@ -101,39 +100,37 @@ def _restore_train_params(checkpoint_dir, model_cfg, step=None, ema=False,
     lay = build_layout([RowSpec((1, 1), "training")], 4)
     z = jnp.zeros((2, 4, 4, model_cfg.in_channels))
     cl = jnp.zeros((1, 4, 4, model_cfg.in_channels))
-    # the restore target stays ABSTRACT (eval_shape all the way): a
-    # concrete TrainState would eagerly allocate f32 params + AdamW m/v
-    # (+EMA) — ~60G at 3.8B scale — just to be overwritten. Restore lands
-    # on HOST memory; callers move (only) the params to the accelerator.
-    params = jax.eval_shape(
+    # PARTIAL restore against an ABSTRACT target: only the requested
+    # params tree is read from disk and materialised (on HOST — callers
+    # move it to the accelerator) — never the AdamW state, which is ~3x
+    # the params bytes (~45G at 3.8B scale).
+    params_abs = jax.eval_shape(
         lambda: model.init(jax.random.PRNGKey(0), Batch.from_layout(lay), z,
                            jnp.zeros((2,)), cl))
-    # the checkpoint may or may not carry EMA params; probe both structures
-    err = None
+    field = "ema_params" if ema else "params"
     cpu = jax.devices("cpu")[0]
-    for with_ema in ((True,) if ema else (True, False)):
-        state_like = jax.eval_shape(
-            lambda p, we=with_ema: init_train_state(
-                model, p, TrainConfig(use_ema=we)), params)
-        try:
-            with jax.default_device(cpu):
-                state, step = ckpt.restore_checkpoint(
-                    checkpoint_dir, state_like, step=step)
-            break
-        except FileNotFoundError:
-            raise
-        except Exception as e:
-            err = e
-    else:
+    try:
+        with jax.default_device(cpu):
+            out, step = ckpt.restore_subtree(
+                checkpoint_dir, {field: params_abs}, step=step)
+    except FileNotFoundError:
+        raise
+    except Exception as e:
         hint = ("the checkpoint's structure does not match (--ema given but "
                 "the run trained without EMA? wrong --step or model size? "
                 "run trained with --input_output_return but no "
                 "--input_head given?)")
         raise SystemExit(f"restore failed: {hint}\n  orbax: "
-                         f"{type(err).__name__}: {str(err)[:200]}")
-    tree = state.ema_params if ema else state.params
+                         f"{type(e).__name__}: {str(e)[:200]}")
+    tree = out[field]
     if tree is None:
         raise SystemExit("checkpoint has no EMA params; drop --ema")
+    if cast_dtype is not None:
+        tree = jax.tree.map(
+            lambda x: x.astype(cast_dtype)
+            if jnp.issubdtype(x.dtype, jnp.floating) else x, tree)
+        print(f"restored training checkpoint step {step}"
+              f"{' (EMA)' if ema else ''} from {checkpoint_dir}")
     return tree, step
 
 
@@ -171,14 +168,9 @@ def cmd_generate(args):
             load_reference_checkpoint(args.model_ckpt), model_cfg)}
     elif args.checkpoint_dir:
         # orbax training run -> inference directly (no export round-trip)
-        tree, step = _restore_train_params(
+        params, _ = _restore_train_params(
             args.checkpoint_dir, model_cfg, step=args.step, ema=args.ema,
-            input_head=args.input_head)
-        params = jax.tree.map(
-            lambda x: x.astype(dtype)
-            if jnp.issubdtype(x.dtype, jnp.floating) else x, tree)
-        print(f"restored training checkpoint step {step}"
-              f"{' (EMA)' if args.ema else ''} from {args.checkpoint_dir}")
+            input_head=args.input_head, cast_dtype=dtype)
     else:
         params = None
     if args.vae_ckpt:
@@ -301,13 +293,9 @@ def cmd_generate_image(args):
         params = {"params": videogpt_params_from_torch(
             load_reference_checkpoint(args.model_ckpt), model_cfg)}
     elif args.checkpoint_dir:
-        tree, step = _restore_train_params(
-            args.checkpoint_dir, model_cfg, step=args.step, ema=args.ema)
-        params = jax.tree.map(
-            lambda x: x.astype(dtype)
-            if jnp.issubdtype(x.dtype, jnp.floating) else x, tree)
-        print(f"restored training checkpoint step {step}"
-              f"{' (EMA)' if args.ema else ''} from {args.checkpoint_dir}")
+        params, _ = _restore_train_params(
+            args.checkpoint_dir, model_cfg, step=args.step, ema=args.ema,
+            cast_dtype=dtype)
     else:
         from .image_gen import TextRow, single_shot_layout
         from .models.video_gpt import Batch

@@ -64,11 +64,12 @@ def maybe_bias(cfg: ModelConfig, q_meta: AttnMeta, k_meta: AttnMeta):
     import jax as _jax
     if cfg.attn_impl not in ("auto", "pallas"):
         return None
-    if cfg.seq_shard:
-        # SP paths evaluate the mask from O(L) metadata in-kernel: the
-        # collective wrappers can then pad awkward lengths to the seq
-        # multiple themselves (a precomputed dense bias cannot be padded
-        # consistently after the fact)
+    if cfg.sp_attention in ("ulysses", "ring"):
+        # collective SP evaluates the mask from O(L) metadata in-kernel:
+        # the wrappers can then pad awkward lengths to the seq multiple
+        # themselves (a precomputed dense bias cannot be padded
+        # consistently after the fact). GSPMD-only seq_shard keeps the
+        # bias fast path.
         return None
     if _jax.default_backend() != "tpu":
         return None

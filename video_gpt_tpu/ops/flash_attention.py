@@ -349,13 +349,15 @@ def _decode_kernel(qoff_ref, rank_ref, q_ref, k_ref, v_ref, o_ref, *,
     [bq, Lk] probabilities (one fewer full VPU pass) and runs on exp2 with
     scale*log2(e) folded into the score scale.
 
-    No max-subtraction: logits here are bounded (|q.k|*scale*log2e stays
-    well under f32 exp2's +-126 range for unit-variance bf16 activations;
-    a clamp at +-80 guards pathological inputs), so exp2 runs directly and
-    the mask folds into the SAME pass via ``where`` — two fewer full
-    [bq, Lk] VPU passes (max-reduce + subtract-broadcast) than the safe
-    flash recurrence. The denominator is exact: unshifted exp2 sums are
-    f32-representable across the clamped range."""
+    No max-subtraction: exp2 runs directly on the scaled scores and the
+    mask folds into the SAME pass via ``where`` — two fewer full [bq, Lk]
+    VPU passes (max-reduce + subtract-broadcast) than the safe flash
+    recurrence. Validity bound: the clamp at +-100 log2-units keeps the
+    f32 denominator sum exact up to ~1M keys (2^100 * 1e6 < f32 max), and
+    only distorts results if a real logit exceeds ~69 nats — far beyond
+    anything trained attention produces (bf16 activations, scale 1/sqrt(D);
+    even logit-sink spikes sit around tens of nats). If a checkpoint ever
+    violates that, use the bias-mode kernel (max-subtracted) instead."""
     q = q_ref[0, 0]                    # [bq, Dp]
     k = k_ref[0, 0]                    # [Lkp, Dp]
     v = v_ref[0, 0]
@@ -368,7 +370,7 @@ def _decode_kernel(qoff_ref, rank_ref, q_ref, k_ref, v_ref, o_ref, *,
     qoff = qoff_ref[0]                 # [bq, 1] int32
     rank = rank_ref[0, 0][None, :]     # [1, Lkp] int32
     p = jnp.where(qoff >= rank,
-                  jnp.exp2(jnp.clip(s, -80.0, 80.0)), 0.0)
+                  jnp.exp2(jnp.clip(s, -100.0, 100.0)), 0.0)
     l = jnp.maximum(jnp.sum(p, axis=-1, keepdims=True), 1e-30)
     acc = jnp.dot(p.astype(v.dtype), v,
                   preferred_element_type=jnp.float32)
@@ -465,7 +467,7 @@ def _stream_decode_kernel(qoff_ref, rank_ref, q_ref, k_ref, v_ref, o_ref,
     tile in VMEM — length-unbounded. The unshifted-exp2 trick of
     :func:`_decode_kernel` pays off double here: with no running max there
     is no alpha-rescaling pass per tile either — the recurrence is just
-    l += sum(p); acc += p@v in f32 (sums of exp2(clip(s,±80)) over any
+    l += sum(p); acc += p@v in f32 (sums of exp2(clip(s,±100)) over any
     realistic Lk stay far inside f32 range)."""
     ki = pl.program_id(3)
     nk = pl.num_programs(3)
@@ -484,7 +486,7 @@ def _stream_decode_kernel(qoff_ref, rank_ref, q_ref, k_ref, v_ref, o_ref,
     qoff = qoff_ref[0]                 # [bq, 1] int32 (sublane layout)
     rank = rank_ref[0, 0][None, :]     # [1, bk]
     p = jnp.where(qoff >= rank,
-                  jnp.exp2(jnp.clip(s, -80.0, 80.0)), 0.0)
+                  jnp.exp2(jnp.clip(s, -100.0, 100.0)), 0.0)
     l_scr[:] = l_scr[:] + jnp.broadcast_to(
         jnp.sum(p, axis=-1, keepdims=True), l_scr.shape)
     acc_scr[:] = acc_scr[:] + jnp.dot(p.astype(v.dtype), v,

@@ -83,23 +83,28 @@ def constrain_cache(cache, enable: bool = True):
     """KVCache [layers, B, H_kv, L, Dp]: shard the HEADS over ``seq`` —
     head-sharded at rest, so the decode step's all_to_alls only ever move
     the tail (parallel.ulysses.ulysses_attend_cached). No-op off-mesh."""
-    if not enable:
+    if not enable or not _mesh_active():
         return cache
+    spec = P(None, None, SEQ_AXIS, None, None)
+    return type(cache)(*(jax.lax.with_sharding_constraint(x, spec)
+                         for x in cache))
+
+
+def _mesh_active() -> bool:
+    """True when a mesh with our axes is in scope — an explicit check so
+    real with_sharding_constraint failures PROPAGATE instead of being
+    swallowed by a blanket no-mesh fallback (which would silently leave
+    e.g. the KV cache unsharded)."""
     try:
-        spec = P(None, None, SEQ_AXIS, None, None)
-        return type(cache)(*(jax.lax.with_sharding_constraint(x, spec)
-                             for x in cache))
+        mesh = jax.sharding.get_abstract_mesh()
+        return SEQ_AXIS in mesh.shape
     except Exception:
-        return cache  # no mesh context (single-device path)
+        return False
 
 
 def constrain_activations(x: jax.Array, enable: bool = True) -> jax.Array:
     """Constrain [B, L, D] activations to P(data, seq, None) when running
     under a mesh; no-op otherwise. Applied at decoder-layer boundaries."""
-    if not enable:
+    if not enable or not _mesh_active():
         return x
-    try:
-        return jax.lax.with_sharding_constraint(
-            x, P(DATA_AXIS, SEQ_AXIS, None))
-    except Exception:
-        return x  # no mesh context (single-device path)
+    return jax.lax.with_sharding_constraint(x, P(DATA_AXIS, SEQ_AXIS, None))
