@@ -4,6 +4,6 @@ python -m video_gpt_tpu.cli train \
   --stage 4 --frame_num 80 \
   --video_dir_path "$1" \
   --results_dir results/stage4 \
-  --model_ckpt results/stage3/checkpoints \
+  --init_checkpoint_dir results/stage3/checkpoints \
   --max_steps "${2:-100000}" \
   --lr 1e-4 --mixed_precision bf16 --ckpt_every 1000

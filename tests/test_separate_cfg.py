@@ -91,6 +91,77 @@ def test_separate_cfg_prefill_decode_matches_padded_pair():
                                rtol=2e-5, atol=2e-5)
 
 
+def test_cfg_interval_semantics():
+    """CFG-interval schedule (SchedulerConfig.cfg_interval): a covering
+    interval reproduces always-CFG exactly; an empty interval reproduces
+    pure conditional sampling; a middle interval matches a hand-rolled
+    Euler loop that guides only inside it."""
+    from video_gpt_tpu.sampling.scheduler import (cfg_step_flags,
+                                                  sigma_schedule)
+
+    model, params, batch, z, clean = _setup()
+    scale = 1.7
+    lay_c = frame_block_inference_layout(N_CLEAN, N_GEN, N_IMG, use_cfg=False)
+    lay_u = frame_block_inference_layout(0, N_GEN, N_IMG, use_cfg=False)
+    batch_c, batch_u = Batch.from_layout(lay_c), Batch.from_layout(lay_u)
+
+    calls = {"uncond": 0}
+
+    def denoise_cond(zz, t):
+        return model.apply(params, batch_c, zz, t, clean)
+
+    def denoise_pair(zz, t):
+        calls["uncond"] += 1  # trace-time: counts compiled uncond forwards
+        return (denoise_cond(zz, t), model.apply(params, batch_u, zz, t))
+
+    sched = SchedulerConfig(num_steps=4, prediction_type="x1")
+    always = sample_separate_cfg(z, denoise_pair, sched, cfg_scale=scale,
+                                 denoise_cond_fn=denoise_cond)
+
+    # covering interval == always-CFG, bit-for-bit
+    cover = SchedulerConfig(num_steps=4, prediction_type="x1",
+                            cfg_interval=(0.0, 2.0))
+    assert cfg_step_flags(cover) == (True,) * 4
+    out = sample_separate_cfg(z, denoise_pair, cover, cfg_scale=scale,
+                              denoise_cond_fn=denoise_cond)
+    np.testing.assert_array_equal(np.asarray(out), np.asarray(always))
+
+    # empty interval == no guidance at all; no uncond forward traced
+    none_ = SchedulerConfig(num_steps=4, prediction_type="x1",
+                            cfg_interval=(2.0, 3.0))
+    assert cfg_step_flags(none_) == (False,) * 4
+    calls["uncond"] = 0
+    out = sample_separate_cfg(z, denoise_pair, none_, cfg_scale=scale,
+                              denoise_cond_fn=denoise_cond)
+    assert calls["uncond"] == 0
+    plain = sample(z, denoise_cond, sched, use_cfg=False)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(plain),
+                               rtol=1e-6, atol=1e-6)
+
+    # middle interval: matches a hand-rolled python Euler loop
+    mid = SchedulerConfig(num_steps=4, prediction_type="x1",
+                          cfg_interval=(0.2, 0.6))
+    flags = cfg_step_flags(mid)
+    assert True in flags and False in flags  # genuinely mixed
+    out = sample_separate_cfg(z, denoise_pair, mid, cfg_scale=scale,
+                              denoise_cond_fn=denoise_cond)
+    sig = sigma_schedule(4)
+    zz = z
+    for i in range(4):
+        t = jnp.full((zz.shape[0],), sig[i], zz.dtype)
+        cond = denoise_cond(zz, t).astype(jnp.float32)
+        if flags[i]:
+            un = model.apply(params, batch_u, zz, t).astype(jnp.float32)
+            pred = un + scale * (cond - un)
+        else:
+            pred = cond
+        v = (pred - zz.astype(jnp.float32)) / (1.0 - sig[i])
+        zz = (zz.astype(jnp.float32) + (sig[i + 1] - sig[i]) * v).astype(
+            zz.dtype)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(zz),
+                               rtol=2e-5, atol=2e-5)
+
+
 def test_hybrid_batched_pair_matches_padded_pair():
     """bench.py's hybrid mode: B=1 prefill + zero-padded cache row for the
     uncond context + columnar rank mask on the padded pair layout."""

@@ -103,6 +103,57 @@ def test_cli_train_then_generate_from_checkpoint(tmp_path):
     assert any(f.endswith(".png") for f in os.listdir(out_dir))
 
 
+def test_cli_stage_chaining_warm_start(tmp_path):
+    """Stage curriculum handoff: `cli train --init_checkpoint_dir` warm-
+    starts stage N from stage N-1's orbax checkpoint (params only), the
+    path configs/pretrain_stage{2,3,4}.sh use (reference:
+    train_x1_stage1_noiseinput.py:316-332 loads prior-stage weights)."""
+    from video_gpt_tpu.cli import _restore_train_params, build_parser
+
+    stage1 = tmp_path / "stage1"
+    args = build_parser().parse_args([
+        "train", "--stage", "1", "--video_dir_path", "/root/reference/vids",
+        "--results_dir", str(stage1), "--max_steps", "2",
+        "--frame_num", "2", "--ckpt_every", "2", "--log_every", "1",
+        "--mixed_precision", "no", "--tiny_model",
+        "--target_resolution", "48", "64", "--report_to", "none"])
+    args.func(args)
+    ckpt1 = stage1 / "checkpoints"
+    assert (ckpt1 / "2").exists()
+    stage1_params, _ = _restore_train_params(
+        str(ckpt1), ModelConfig.tiny(pos_embed_max_size=192))
+
+    # capture what cmd_train hands the Trainer, then run the real thing
+    import video_gpt_tpu.training.trainer as trainer_mod
+    captured = {}
+    real_trainer = trainer_mod.Trainer
+
+    class CapturingTrainer(real_trainer):
+        def __init__(self, *a, **kw):
+            # snapshot to host: the live tree is later donated by the step
+            captured["init_params"] = jax.tree.map(
+                np.asarray, kw.get("init_params"))
+            super().__init__(*a, **kw)
+
+    stage2 = tmp_path / "stage2"
+    args = build_parser().parse_args([
+        "train", "--stage", "2", "--video_dir_path", "/root/reference/vids",
+        "--results_dir", str(stage2), "--max_steps", "1",
+        "--frame_num", "2", "--ckpt_every", "1", "--log_every", "1",
+        "--init_checkpoint_dir", str(ckpt1),
+        "--mixed_precision", "no", "--tiny_model",
+        "--target_resolution", "48", "64", "--report_to", "none"])
+    trainer_mod.Trainer = CapturingTrainer
+    try:
+        args.func(args)
+    finally:
+        trainer_mod.Trainer = real_trainer
+    assert (stage2 / "checkpoints" / "1").exists()
+    # the warm start fed stage-1's trained params, not a fresh init
+    assert captured["init_params"] is not None
+    assert max_tree_diff(captured["init_params"], stage1_params) == 0.0
+
+
 def test_checkpoint_export_roundtrip(tmp_path):
     """orbax checkpoint -> reference safetensors -> importer round trip."""
     from video_gpt_tpu.config import TrainConfig

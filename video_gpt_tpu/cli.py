@@ -22,9 +22,14 @@ def cmd_train(args):
 
     from .config import stage_config
     from .models.vae import VAEConfig
+    from .parallel.distributed import init_runtime
     from .training.trainer import Trainer
     from .utils.cache import enable_compilation_cache
 
+    # multi-host: wire jax.distributed BEFORE any backend use (reference
+    # calls init_npu_env on every launch, parallel_states.py:66-81);
+    # no-ops without a coordinator address in the environment
+    init_runtime()
     enable_compilation_cache()
     cfg = stage_config(
         args.stage,
@@ -57,6 +62,16 @@ def cmd_train(args):
                                          videogpt_params_from_torch)
         init_params = {"params": videogpt_params_from_torch(
             load_reference_checkpoint(args.model_ckpt), _model_cfg(args))}
+    elif args.init_checkpoint_dir:
+        # stage chaining: warm-start from a PRIOR stage's orbax checkpoint
+        # (the reference's curriculum hands weights between stages,
+        # train_x1_stage1_noiseinput.py:316-332). Partial restore of the
+        # params only — never the previous stage's AdamW state.
+        init_params, init_step = _restore_train_params(
+            args.init_checkpoint_dir, _model_cfg(args), step=args.init_step,
+            ema=args.init_ema, input_head=args.input_output_return)
+        print(f"warm-start from {args.init_checkpoint_dir} step {init_step}"
+              f"{' (EMA)' if args.init_ema else ''}")
 
     writer = None
     if args.report_to == "tensorboard":
@@ -129,8 +144,8 @@ def _restore_train_params(checkpoint_dir, model_cfg, step=None, ema=False,
         tree = jax.tree.map(
             lambda x: x.astype(cast_dtype)
             if jnp.issubdtype(x.dtype, jnp.floating) else x, tree)
-        print(f"restored training checkpoint step {step}"
-              f"{' (EMA)' if ema else ''} from {checkpoint_dir}")
+    print(f"restored training checkpoint step {step}"
+          f"{' (EMA)' if ema else ''} from {checkpoint_dir}")
     return tree, step
 
 
@@ -141,9 +156,11 @@ def cmd_generate(args):
 
     from .models.vae import AutoencoderKL, VAEConfig
     from .models.video_gpt import VideoGPT
+    from .parallel.distributed import init_runtime
     from .sampling.pipeline import VideoGPTPipeline
     from .utils.cache import enable_compilation_cache
 
+    init_runtime()  # multi-host serving: no-op without a coordinator env
     enable_compilation_cache()
     model_cfg = _model_cfg(args)
     mesh = None
@@ -246,6 +263,8 @@ def cmd_generate(args):
             prediction_type=args.prediction_type,
             seed=args.seed,
             vae_roundtrip_recycle=args.vae_roundtrip_recycle,
+            cfg_interval=(tuple(args.cfg_interval)
+                          if args.cfg_interval else None),
         )
         for i, im in enumerate(images):
             im.save(os.path.join(args.save_dir, f"{k}_{i}.png"))
@@ -345,9 +364,11 @@ def cmd_train_image(args):
     loss.py:40-45)."""
     from .config import TrainConfig
     from .models.vae import VAEConfig
+    from .parallel.distributed import init_runtime
     from .training.image_trainer import ImageGenTrainer
     from .utils.cache import enable_compilation_cache
 
+    init_runtime()
     enable_compilation_cache()
     cfg = TrainConfig(
         batch_size_per_device=args.batch_size_per_device,
@@ -443,7 +464,18 @@ def build_parser() -> argparse.ArgumentParser:
     t.add_argument("--input_output_return", action="store_true")
     t.add_argument("--input_noise", type=float, default=0.9)
     t.add_argument("--no_auto_resume", action="store_true")
-    t.add_argument("--model_ckpt", type=str, default=None)
+    t.add_argument("--model_ckpt", type=str, default=None,
+                   help="reference-format torch/safetensors initial weights")
+    t.add_argument("--init_checkpoint_dir", type=str, default=None,
+                   help="warm-start params from a prior stage's orbax "
+                        "checkpoint dir (stage chaining; params only, "
+                        "optimizer state starts fresh)")
+    t.add_argument("--init_ema", action="store_true",
+                   help="warm-start from the EMA params of "
+                        "--init_checkpoint_dir")
+    t.add_argument("--init_step", type=int, default=None,
+                   help="checkpoint step for --init_checkpoint_dir "
+                        "(default: latest)")
     t.add_argument("--vae_ckpt", type=str, default=None)
     t.add_argument("--target_resolution", type=int, nargs=2,
                    default=[176, 320])
@@ -494,6 +526,11 @@ def build_parser() -> argparse.ArgumentParser:
                         "predictions (LVM/pipeline.py:491-498); default "
                         "feeds latents back directly")
     g.add_argument("--prediction_type", default="x1", choices=["x1", "v"])
+    g.add_argument("--cfg_interval", type=float, nargs=2, default=None,
+                   metavar=("LO", "HI"),
+                   help="apply guidance only where sigma in [LO, HI); "
+                        "skips the uncond forward elsewhere (arXiv:"
+                        "2404.07724). Default: guidance at every step")
     g.add_argument("--mesh_seq", type=int, default=1,
                    help="sequence-parallel serving over this many devices "
                         "(Ulysses; reference inference uses SP=4)")

@@ -107,12 +107,16 @@ class ImageTextDataset:
         with Image.open(self._path(path)) as img:
             return resize_center_crop(img, size)
 
-    def _example(self, index: int) -> ImageGenSample:
+    def _example(self, index: int, epoch: int = 0) -> ImageGenSample:
         rec = self.records[index]
         instruction = rec["instruction"]
         input_images = rec.get("input_images") or None
+        # epoch folds into the stream so each revisit re-rolls the dropout
+        # (otherwise a fixed ~p subset of records would train ONLY
+        # unconditionally for the whole run); still a pure function of
+        # (seed, epoch, index), so resumed runs replay identically
         rng = np.random.default_rng(
-            np.random.SeedSequence([self.seed, index]))
+            np.random.SeedSequence([self.seed, epoch, index]))
         if rng.random() < self.condition_dropout_prob:
             instruction = CFG_PROMPT          # data.py:50-52
             input_images = None
@@ -150,10 +154,10 @@ class ImageTextDataset:
                 ids.extend([slot] * n_region)
         return TextRow(ids, regions)
 
-    def sample(self, index: int) -> ImageGenSample:
+    def sample(self, index: int, epoch: int = 0) -> ImageGenSample:
         for attempt in range(self.max_retries):
             try:
-                return self._example((index + attempt) % len(self))
+                return self._example((index + attempt) % len(self), epoch)
             except Exception as e:  # bad record: skip (data.py:63-73)
                 print(f"image_text: bad record {index + attempt}: {e}",
                       flush=True)

@@ -372,6 +372,14 @@ def decode_rank(layout: SequenceLayout, tail_len: int):
         plain = ~is_noisy
         if ((vis[plain] > first_q) & (vis[plain] != NEVER)).any():
             return None
+        # noisy keys must carry NO causal visibility of their own: a finite
+        # vis_start on a noisy key (any block) would add causal reach the
+        # role-gated/NEVER collapse below cannot express. build_layout
+        # always sets noisy vis_start=NEVER (layout.py emit_noisy), so
+        # this keeps the predicate a true bit-exactness guarantee for any
+        # future layout rather than an assumption about today's builder.
+        if (vis[is_noisy] != NEVER).any():
+            return None
         rank = np.where(is_noisy & (nblk == g), role,
                         np.where(vis <= first_q, -1, NEVER)).astype(np.int32)
         ranks.append(rank)

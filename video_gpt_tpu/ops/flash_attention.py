@@ -16,20 +16,21 @@ Replaces the reference's dense-mask SDPA/fused-attention path
   q-blocks, H)); O(L) host/HBM memory.
 
 The resident modes keep the full key row per (batch, head) in VMEM, capping
-them at ~8k keys on v5e (16MB VMEM). Beyond that, :func:`flash_mha_streaming`
-runs the classic online-softmax recurrence over k-tiles with large q-blocks
-(K/V HBM traffic scales with the q-block count): length-unbounded, 57ms at
-the reference's 80-frame-window decode shape (Lq=5.3k, Lk=17.8k) where the
-dense path cannot allocate its 24GB logits at all. Its backward recomputes
-through the chunked jnp path; a streaming Pallas backward (and a
-metadata-inline streaming mode, removing the bias HBM budget) remain future
-work for full stage-4 scale.
+them at ~8k keys on v5e (16MB VMEM). Beyond that the k-STREAMING kernels
+take over, all length-unbounded: :func:`flash_mha_streaming` (bias mode,
+online-softmax over k-tiles; 57ms at the reference's 80-frame-window decode
+shape Lq=5.3k, Lk=17.8k, where the dense path cannot allocate its 24GB
+logits at all), :func:`flash_mha_streaming_inline` (metadata-inline mask,
+O(L) mask memory, with a streaming Pallas BACKWARD pair —
+``_stream_dq_kernel``/``_stream_dkv_kernel`` — making it the stage-2/3/4
+training path), and :func:`flash_mha_decode_streaming` (columnar per-key
+rank, the long-rollout decode path).
 
 Training: :func:`flash_mha_biased` wraps the bias mode in a ``custom_vjp``
 whose backward is also a Pallas kernel (one-pass, softmax recomputed per
 q-block against VMEM-resident K/V, dK/dV accumulated in revisited f32
-output blocks). Sequences beyond the bias budget train via the
-differentiable head-chunked jnp path (ops.attention.mha_chunked).
+output blocks); :func:`flash_mha_streaming_inline` does the same beyond
+the resident cap with streaming fwd+bwd kernels.
 """
 from __future__ import annotations
 
@@ -352,12 +353,20 @@ def _decode_kernel(qoff_ref, rank_ref, q_ref, k_ref, v_ref, o_ref, *,
     No max-subtraction: exp2 runs directly on the scaled scores and the
     mask folds into the SAME pass via ``where`` — two fewer full [bq, Lk]
     VPU passes (max-reduce + subtract-broadcast) than the safe flash
-    recurrence. Validity bound: the clamp at +-100 log2-units keeps the
-    f32 denominator sum exact up to ~1M keys (2^100 * 1e6 < f32 max), and
-    only distorts results if a real logit exceeds ~69 nats — far beyond
+    recurrence. Validity bounds: the UPPER clamp at +100 log2-units keeps
+    the f32 denominator sum exact up to ~1M keys (2^100 * 1e6 < f32 max),
+    and only distorts results if a real logit exceeds ~69 nats — far beyond
     anything trained attention produces (bf16 activations, scale 1/sqrt(D);
-    even logit-sink spikes sit around tens of nats). If a checkpoint ever
-    violates that, use the bias-mode kernel (max-subtracted) instead."""
+    even logit-sink spikes sit around tens of nats). The LOWER clamp at
+    -100 log2-units has the dual failure mode: if EVERY visible key of a
+    query row scores below ~-69 nats, all rows clip to the same floor and
+    the softmax silently degrades toward uniform attention over those keys
+    instead of preserving their relative weights (rows where at least one
+    key is within 139 nats of the best are unaffected — the floored keys'
+    2^-100 mass vanishes in the sum). Both regimes are unreachable for
+    checkpoints whose logits stay within ~±69 nats; if one ever violates
+    that, use the bias-mode kernel (max-subtracted) instead —
+    ``utils.parity`` probes compare the two paths on real weights."""
     q = q_ref[0, 0]                    # [bq, Dp]
     k = k_ref[0, 0]                    # [Lkp, Dp]
     v = v_ref[0, 0]
@@ -929,7 +938,16 @@ def _stream_inline_bwd_impl(q, k, v, o, lse, do, q_meta, k_meta,
         q, k, block_q, block_k)
     if h != hkv:
         # GQA would need cross-head accumulation in dkv; the flagship model
-        # is MHA (Phi-3 32/32) — recompute through the chunked path instead
+        # is MHA (Phi-3 32/32) — recompute through the chunked path instead.
+        # That path materialises a dense [B, 1, Lq, Lk] f32 bias: a silent
+        # memory cliff at stage-4 lengths, hence the loud trace-time warning
+        import warnings
+        warnings.warn(
+            "streaming flash backward fell back to the dense-bias chunked "
+            f"path for GQA (heads {h} != kv_heads {hkv}): this allocates an "
+            f"O(Lq*Lk) f32 bias ({4 * q.shape[1] * k.shape[1] / 1e9:.2f} GB "
+            "per batch row) — prohibitive at stage-4 lengths. Use MHA or "
+            "add cross-head dkv accumulation.", stacklevel=3)
         from .attention import attention_bias, mha_chunked
         dense = attention_bias(q_meta, k_meta, jnp.float32)
         _, pullback = jax.vjp(

@@ -19,7 +19,7 @@ from __future__ import annotations
 
 import dataclasses
 import functools
-from typing import List, Optional, Sequence
+from typing import List, Optional, Sequence, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -110,7 +110,8 @@ class VideoGPTPipeline:
 
     def _denoise_fn(self, tail_len: int, num_steps: int, time_shift: float,
                     prediction_type: str, use_cfg: bool, cfg_scale: float,
-                    columnar: bool, cached: bool):
+                    columnar: bool, cached: bool,
+                    cfg_interval: Optional[tuple] = None):
         """The denoise scan per sequence signature.
 
         With guidance the CFG pair runs SEPARATELY at its natural lengths
@@ -125,7 +126,8 @@ class VideoGPTPipeline:
         (tests/test_separate_cfg.py)."""
         sched = SchedulerConfig(num_steps=num_steps,
                                 time_shifting_factor=time_shift,
-                                prediction_type=prediction_type)
+                                prediction_type=prediction_type,
+                                cfg_interval=cfg_interval)
         model = self.model
         from ..models.video_gpt import decode_mask, maybe_bias
 
@@ -161,12 +163,14 @@ class VideoGPTPipeline:
                     return (denoise_cond(z, t),
                             model.apply(params, batch_u, z, t, bias=bias_u))
 
+                # steps outside cfg_interval compile NO uncond forward
                 return sample_separate_cfg(z0, denoise_pair, sched,
-                                           cfg_scale)
+                                           cfg_scale,
+                                           denoise_cond_fn=denoise_cond)
             return fn
         return self._jit_cached(
             ("denoise", tail_len, num_steps, time_shift, prediction_type,
-             use_cfg, cfg_scale, columnar, cached), build)
+             use_cfg, cfg_scale, columnar, cached, cfg_interval), build)
 
     # ---- public API ----------------------------------------------------------
 
@@ -193,6 +197,7 @@ class VideoGPTPipeline:
         seed: Optional[int] = 42,
         return_latents: bool = False,
         vae_roundtrip_recycle: bool = False,
+        cfg_interval: Optional[Tuple[float, float]] = None,
     ):
         """Condition on ``input_frames``, roll out ``gen_nums`` clips.
 
@@ -207,6 +212,11 @@ class VideoGPTPipeline:
         (LVM/pipeline.py:491-498). The default (False) feeds the predicted
         latent back directly — one fewer lossy VAE round-trip per recycled
         frame and no extra encode work; a deliberate, documented divergence.
+
+        ``cfg_interval=(lo, hi)`` applies guidance only where sigma is in
+        ``[lo, hi)`` and skips the unconditional forward elsewhere
+        (scheduler.cfg_step_flags) — a serving work-reduction knob;
+        ``None`` keeps guidance at every step (reference semantics).
         """
         if img_guidance_scale == 1.0:
             use_img_guidance = False
@@ -288,7 +298,8 @@ class VideoGPTPipeline:
             fn = self._denoise_fn(tail, num_inference_steps,
                                   time_shifting_factor, prediction_type,
                                   use_img_guidance, img_guidance_scale,
-                                  columnar, cached=prefix > 0)
+                                  columnar, cached=prefix > 0,
+                                  cfg_interval=cfg_interval)
             samples = fn(self.params, batch_c, batch_u, kv_cache, z)
 
             if emit_initial:

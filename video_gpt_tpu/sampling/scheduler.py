@@ -82,12 +82,35 @@ def sample(
     return z
 
 
+def cfg_step_flags(cfg: SchedulerConfig) -> Tuple[bool, ...]:
+    """Static per-step guidance flags for a CFG-interval schedule.
+
+    ``cfg.cfg_interval = (lo, hi)`` applies guidance only on steps whose
+    sigma lies in ``[lo, hi)``; outside it the unconditional evaluation is
+    SKIPPED entirely (the guidance-interval schedule of Kynkaenniemi et al.
+    2024, arXiv:2404.07724: guidance is harmful at high noise — sigma near
+    0 here — and has little effect near the clean end). The sigma grid is
+    static, so the flags are static Python booleans and the sampler simply
+    compiles fewer unconditional forwards — the uncond row costs ~47% of
+    every denoise step at flagship shapes (DESIGN.md decode breakdown).
+    ``None`` (the default) preserves reference semantics: guidance at every
+    step."""
+    if cfg.cfg_interval is None:
+        return (True,) * cfg.num_steps
+    lo, hi = cfg.cfg_interval
+    grid = sigma_schedule(cfg.num_steps, cfg.time_shifting_factor,
+                          cfg.begin_time)
+    return tuple(bool(lo <= s < hi) for s in grid[:cfg.num_steps])
+
+
 def sample_separate_cfg(
     z0: jax.Array,
     denoise_pair_fn: Callable[[jax.Array, jax.Array],
                               Tuple[jax.Array, jax.Array]],
     cfg: SchedulerConfig,
     cfg_scale: float,
+    denoise_cond_fn: Optional[Callable[[jax.Array, jax.Array],
+                                       jax.Array]] = None,
 ) -> jax.Array:
     """Euler ODE with separate-CFG evaluation (OmniGen/model.py:376-402).
 
@@ -98,28 +121,55 @@ def sample_separate_cfg(
     pair (guidance is affine in the prediction, so guiding x1-predictions and
     guiding velocities commute).
 
+    With ``cfg.cfg_interval`` set, steps outside the interval evaluate ONLY
+    the conditional context via ``denoise_cond_fn`` (falls back to taking
+    the cond half of the pair): the trajectory splits into contiguous
+    ``lax.scan`` segments per static flag run, so the skipped steps compile
+    no unconditional forward at all.
+
     z0: [N, hl, wl, C] — single copy, no duplicated halves.
     """
     sigmas = jnp.asarray(sigma_schedule(cfg.num_steps,
                                         cfg.time_shifting_factor,
                                         cfg.begin_time))
+    flags = cfg_step_flags(cfg)
 
-    def step(z, i):
+    def euler(z, i, pred):
         sigma = sigmas[i]
-        sigma_next = sigmas[i + 1]
-        t = jnp.full((z.shape[0],), sigma, z.dtype)
-        cond, uncond = denoise_pair_fn(z, t)
-        pred = (uncond.astype(jnp.float32)
-                + cfg_scale * (cond.astype(jnp.float32)
-                               - uncond.astype(jnp.float32)))
         zf = z.astype(jnp.float32)
         if cfg.prediction_type == "x1":
             v = (pred - zf) / (1.0 - sigma)
         else:
             v = pred
-        return (zf + (sigma_next - sigma) * v).astype(z.dtype), None
+        return (zf + (sigmas[i + 1] - sigma) * v).astype(z.dtype)
 
-    z, _ = jax.lax.scan(step, z0, jnp.arange(cfg.num_steps))
+    def step_cfg(z, i):
+        t = jnp.full((z.shape[0],), sigmas[i], z.dtype)
+        cond, uncond = denoise_pair_fn(z, t)
+        pred = (uncond.astype(jnp.float32)
+                + cfg_scale * (cond.astype(jnp.float32)
+                               - uncond.astype(jnp.float32)))
+        return euler(z, i, pred), None
+
+    def step_cond(z, i):
+        t = jnp.full((z.shape[0],), sigmas[i], z.dtype)
+        if denoise_cond_fn is not None:
+            cond = denoise_cond_fn(z, t)
+        else:
+            cond = denoise_pair_fn(z, t)[0]
+        return euler(z, i, cond.astype(jnp.float32)), None
+
+    # contiguous runs of equal flags -> one scan segment each (at most 3
+    # segments for an interval schedule; exactly 1 when cfg_interval=None)
+    z = z0
+    start = 0
+    while start < cfg.num_steps:
+        end = start
+        while end < cfg.num_steps and flags[end] == flags[start]:
+            end += 1
+        fn = step_cfg if flags[start] else step_cond
+        z, _ = jax.lax.scan(fn, z, jnp.arange(start, end))
+        start = end
     return z
 
 

@@ -105,7 +105,9 @@ class ImageGenTrainer:
 
     def _collate(self, idx: int) -> ImageGenTrainBatch:
         b = self.cfg.batch_size_per_device * self._dp
-        samples = [self.dataset.sample((idx * b + i) % len(self.dataset))
+        n = len(self.dataset)
+        # epoch = visit count of the record; re-rolls condition dropout
+        samples = [self.dataset.sample((idx * b + i) % n, (idx * b + i) // n)
                    for i in range(b)]
         return collate_image_gen(samples, self.pad_to, self.max_input_images,
                                  token_ids=self.model_cfg.token_ids)
@@ -195,6 +197,12 @@ class ImageGenTrainer:
     def _run_inner(self, max_steps: int, log_writer=None) -> TrainState:
         cfg = self.cfg
         os.makedirs(cfg.results_dir, exist_ok=True)
+        import json as _json
+        with open(os.path.join(cfg.results_dir, "train_args.json"), "w") as f:
+            _json.dump({"train": cfg.__dict__,
+                        "model": {k: str(v) for k, v in
+                                  self.model_cfg.__dict__.items()}}, f,
+                       indent=2, default=str)
         ckpt_dir = os.path.join(cfg.results_dir, "checkpoints")
         tb = self._collate(0)
         state = self._build(tb)
@@ -205,12 +213,25 @@ class ImageGenTrainer:
             print(f"resumed from step {start_step}")
 
         from ..data.prefetch import Prefetcher
+        from ..parallel.distributed import GracefulShutdown
         prefetcher = Prefetcher(self._collate, depth=2, workers=1,
                                 start=start_step)
+        shutdown = GracefulShutdown()
         writer = ckpt.CheckpointWriter(ckpt_dir)
         t0, running = time.time(), []
+        last_saved = start_step if start_step > 0 else None
         try:
             for step_idx in range(start_step, max_steps):
+                if shutdown.requested.is_set():
+                    # preemption: durable checkpoint before exit (mirrors
+                    # Trainer._loop; the reference has no elastic story)
+                    if last_saved != step_idx:
+                        writer.save(step_idx, state)
+                        last_saved = step_idx
+                    writer.wait()
+                    print(f"shutdown requested: checkpoint-{step_idx} "
+                          "durable", flush=True)
+                    break
                 tb = self._shard_batch(prefetcher.get())
                 r = jax.random.fold_in(self.rng, step_idx)
                 state, metrics = self._jit_step(state, self._vae_params, r,
@@ -221,13 +242,20 @@ class ImageGenTrainer:
                     sps = len(running) / max(time.time() - t0, 1e-9)
                     mean_loss = float(np.mean([float(x) for x in running]))
                     print(f"step {step_idx + 1}: loss={mean_loss:.4f} "
+                          f"grad_norm={float(metrics['grad_norm']):.3f} "
                           f"steps/sec={sps:.3f}", flush=True)
                     if log_writer is not None:
                         log_writer.add_scalar("train/loss", mean_loss,
                                               step_idx + 1)
+                        log_writer.add_scalar("train/grad_norm",
+                                              float(metrics["grad_norm"]),
+                                              step_idx + 1)
+                        log_writer.add_scalar("train/steps_per_sec", sps,
+                                              step_idx + 1)
                     running, t0 = [], time.time()
                 if (step_idx + 1) % cfg.ckpt_every == 0:
                     writer.save(step_idx + 1, state)  # async
+                    last_saved = step_idx + 1
         finally:
             prefetcher.close()
             writer.close()
