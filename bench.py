@@ -37,6 +37,14 @@ STEPS = int(os.environ.get("BENCH_STEPS", 10))
 H, W = 176, 320
 REPS = int(os.environ.get("BENCH_REPS", 3))
 TINY = bool(int(os.environ.get("BENCH_TINY", "0")))
+# guidance interval (serving default): CFG applied only where sigma is in
+# [lo, hi) — the uncond forward (~47% of a step's FLOPs) is skipped on the
+# other steps (scheduler.cfg_step_flags; Kynkaenniemi et al. 2024). The
+# trajectory drift this causes vs always-CFG is measured by
+# scripts/cfg_drift.py on random weights. "none" = guidance at every step.
+_ival = os.environ.get("BENCH_CFG_INTERVAL", "0.15,0.7")
+CFG_INTERVAL = (None if _ival in ("none", "") else
+                tuple(float(x) for x in _ival.split(",")))
 
 
 def median(xs):
@@ -73,7 +81,8 @@ def main():
         lambda s: jnp.zeros(s.shape, dtype if jnp.issubdtype(
             s.dtype, jnp.floating) else s.dtype), shapes)
 
-    sched = SchedulerConfig(num_steps=STEPS, prediction_type="x1")
+    sched = SchedulerConfig(num_steps=STEPS, prediction_type="x1",
+                            cfg_interval=CFG_INTERVAL)
 
     assert decode_rank(layout, tail) is not None
 
@@ -81,18 +90,23 @@ def main():
     def cached_clip_separate(params, clean, z0):
         """Separate-CFG: each context at its natural length (fewest
         attention elements, but two M=3552 trunk calls run ~20% under the
-        batched matmul rate — see scripts/profile_decode.py)."""
+        batched matmul rate — see scripts/profile_decode.py). Steps outside
+        CFG_INTERVAL run the conditional context only."""
         cache = model.apply(params, batch_c, clean, prefix,
                             method=VideoGPT.prefill)
         bias_c = decode_mask(batch_c.meta.tail(tail), batch_c.meta)
         bias_u = decode_mask(batch_u.meta, batch_u.meta)
 
+        def denoise_cond(z, t):
+            return model.apply(params, batch_c, z, t, cache, tail, bias_c,
+                               method=VideoGPT.decode)
+
         def denoise_pair(z, t):
-            return (model.apply(params, batch_c, z, t, cache, tail, bias_c,
-                                method=VideoGPT.decode),
+            return (denoise_cond(z, t),
                     model.apply(params, batch_u, z, t, bias=bias_u))
 
-        return sample_separate_cfg(z0, denoise_pair, sched, cfg_scale=1.5)
+        return sample_separate_cfg(z0, denoise_pair, sched, cfg_scale=1.5,
+                                   denoise_cond_fn=denoise_cond)
 
     @jax.jit
     def cached_clip_batched(params, clean, z0):
@@ -154,9 +168,12 @@ def main():
         "unit": "frames/s/chip",
         "vs_baseline": round(t_uncached / t_cached, 3),
         "p50_latency_s": round(t_cached, 4),
+        "cfg_interval": CFG_INTERVAL,
         "baseline_note": "vs_baseline = speedup over the reference's "
                          "no-KV-cache full-recompute algorithm on the same "
-                         "chip (reference publishes no numbers)",
+                         "chip (reference publishes no numbers); serving "
+                         "path guides only where sigma is in cfg_interval "
+                         "(drift vs always-CFG: scripts/cfg_drift.py)",
     }))
 
 

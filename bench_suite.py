@@ -247,6 +247,18 @@ def bench_train_stage1():
                       "stage-1 train step, 16-frame interleaved clip")
 
 
+def bench_train_depth_scaling():
+    """Substantiates the depth-extrapolation claim behind the reduced-depth
+    train legs: tokens/s/layer at depth 4 / 8 / 16 should be ~flat under
+    nn.scan (one compiled layer body; per-layer cost is depth-invariant).
+    Depth 32 does not fit one v5e's HBM with f32 AdamW state — that is what
+    the reference's ZeRO sharding / offload configs exist for."""
+    for depth in (4, 8, 16):
+        _train_step_bench(1, 16, depth,
+                          f"stage-1 train step at depth {depth} "
+                          "(depth-invariance evidence)")
+
+
 def bench_train_stage4():
     _train_step_bench(4, 80, NUM_LAYERS,
                       "stage-4 long-context train step, 80-frame "
@@ -337,6 +349,7 @@ ALL = {
     "train_stage1": bench_train_stage1,
     "train_stage4": bench_train_stage4,
     "lora_stage4": bench_lora_stage4,
+    "train_depth_scaling": bench_train_depth_scaling,
 }
 
 

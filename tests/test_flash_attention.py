@@ -356,6 +356,66 @@ def test_kv_heads_major_matches_tokens_major():
                                    atol=2e-5, rtol=2e-5)
 
 
+def test_flash_decode_split_matches_concat():
+    """Split cache/tail decode kernels (resident + k-streaming) == the
+    single-operand kernel over concat([cache, tail]) == dense reference,
+    incl. GQA and cache lengths that are not tile multiples."""
+    from video_gpt_tpu.models.video_gpt import decode_mask
+    from video_gpt_tpu.ops import flash_attention as fa
+    n = tokens_per_frame(32, 48)
+    for n_clean, h, hkv in ((3, 4, 4), (2, 4, 2), (5, 4, 4)):
+        layout = frame_block_inference_layout(n_clean, 2, n, use_cfg=False)
+        meta = AttnMeta.from_layout(layout)
+        tail = layout.noisy_tail_len()
+        q_meta = meta.tail(tail)
+        b, l, d = layout.batch, layout.length, 96
+        lc = l - tail
+        q, k, v = _rand_qkv(jax.random.PRNGKey(13), b, tail, l, h, hkv, d)
+        ref = mha_reference(q, k, v, attention_bias(q_meta, meta))
+        dm = decode_mask(q_meta, meta)
+        dp = d + (-d % 128)
+        pad = ((0, 0), (0, 0), (0, 0), (0, dp - d))
+        k_hm = jnp.pad(k.transpose(0, 2, 1, 3), pad)
+        v_hm = jnp.pad(v.transpose(0, 2, 1, 3), pad)
+        kc, kt = k_hm[:, :, :lc], k_hm[:, :, lc:]
+        vc, vt = v_hm[:, :, :lc], v_hm[:, :, lc:]
+        out_res = fa.flash_mha_decode_split(q, kc, vc, kt, vt, dm,
+                                            interpret=True)
+        np.testing.assert_allclose(np.asarray(out_res), np.asarray(ref),
+                                   atol=2e-5, rtol=2e-5)
+        # streaming with the k-grid genuinely spanning both operands
+        out_str = fa.flash_mha_decode_streaming_split(
+            q, kc, vc, kt, vt, dm, block_q=96, block_k=128, interpret=True)
+        np.testing.assert_allclose(np.asarray(out_str), np.asarray(ref),
+                                   atol=2e-5, rtol=2e-5)
+
+
+def test_attend_decode_split_dispatch_fallback():
+    """attend_decode_split off-TPU (no interpret): concat fallback stays
+    bit-consistent with attend over the concatenated operands."""
+    from video_gpt_tpu.models.video_gpt import decode_mask
+    from video_gpt_tpu.ops.attention import attend, attend_decode_split
+    n = tokens_per_frame(32, 48)
+    layout = frame_block_inference_layout(2, 2, n, use_cfg=False)
+    meta = AttnMeta.from_layout(layout)
+    tail = layout.noisy_tail_len()
+    q_meta = meta.tail(tail)
+    b, l, h, d = layout.batch, layout.length, 4, 96
+    lc = l - tail
+    q, k, v = _rand_qkv(jax.random.PRNGKey(17), b, tail, l, h, h, d)
+    dm = decode_mask(q_meta, meta)
+    dp = d + (-d % 128)
+    pad = ((0, 0), (0, 0), (0, 0), (0, dp - d))
+    k_hm = jnp.pad(k.transpose(0, 2, 1, 3), pad)
+    v_hm = jnp.pad(v.transpose(0, 2, 1, 3), pad)
+    got = attend_decode_split(q, k_hm[:, :, :lc], v_hm[:, :, :lc],
+                              k_hm[:, :, lc:], v_hm[:, :, lc:],
+                              q_meta, meta, dm)
+    want = attend(q, k_hm, v_hm, q_meta, meta, bias=dm, kv_heads_major=True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               atol=2e-6, rtol=2e-6)
+
+
 def test_decode_rank_rejects_lossy_layouts():
     from video_gpt_tpu.layout import decode_rank
     n = tokens_per_frame(32, 48)

@@ -175,3 +175,123 @@ def test_streaming_inline_stage4_length_smoke():
     assert bool(jnp.isfinite(dq.astype(jnp.float32)).all())
     assert bool(jnp.isfinite(dk.astype(jnp.float32)).all())
     assert bool(jnp.isfinite(dv.astype(jnp.float32)).all())
+
+
+def test_split_decode_kernels_on_chip():
+    """Split cache/tail decode (the zero-concat denoise step) vs the
+    single-operand kernels at production shapes: resident at the flagship
+    8+16 geometry, k-streaming at the 56+24 rollout window."""
+    from video_gpt_tpu.layout import frame_block_inference_layout
+    from video_gpt_tpu.models.video_gpt import decode_mask
+    from video_gpt_tpu.ops import flash_attention as fa
+
+    for n_clean, n_gen, streaming in ((8, 16, False), (56, 24, True)):
+        layout = frame_block_inference_layout(n_clean, n_gen, N,
+                                              use_cfg=False)
+        meta = AttnMeta.from_layout(layout)
+        tail = layout.noisy_tail_len()
+        q_meta = meta.tail(tail)
+        b, l, h, d = layout.batch, layout.length, 4, 96
+        lc = l - tail
+        rng = jax.random.split(jax.random.PRNGKey(21), 3)
+        q = jax.random.normal(rng[0], (b, tail, h, d), jnp.bfloat16)
+        k = jax.random.normal(rng[1], (b, l, h, d), jnp.bfloat16)
+        v = jax.random.normal(rng[2], (b, l, h, d), jnp.bfloat16)
+        dp = d + (-d % 128)
+        pad = ((0, 0), (0, 0), (0, 0), (0, dp - d))
+        k_hm = jnp.pad(k.transpose(0, 2, 1, 3), pad)
+        v_hm = jnp.pad(v.transpose(0, 2, 1, 3), pad)
+        dm = decode_mask(q_meta, meta)
+        if streaming:
+            got = jax.jit(fa.flash_mha_decode_streaming_split)(
+                q, k_hm[:, :, :lc], v_hm[:, :, :lc],
+                k_hm[:, :, lc:], v_hm[:, :, lc:], dm)
+            want = jax.jit(functools.partial(
+                fa.flash_mha_decode_streaming, kv_heads_major=True))(
+                q, k_hm, v_hm, dm)
+        else:
+            got = jax.jit(fa.flash_mha_decode_split)(
+                q, k_hm[:, :, :lc], v_hm[:, :, :lc],
+                k_hm[:, :, lc:], v_hm[:, :, lc:], dm)
+            want = jax.jit(functools.partial(
+                fa.flash_mha_decode, kv_heads_major=True))(q, k_hm, v_hm, dm)
+        err = np.abs(np.asarray(got, np.float32)
+                     - np.asarray(want, np.float32))
+        assert err.max() < 3e-2, (n_clean, n_gen, err.max())
+
+
+def test_pallas_flash_inside_shard_map_on_chip():
+    """The COMPILED (non-interpret) flash kernel lowered inside a
+    ``jax.shard_map`` on real hardware — the composition every Ulysses SP
+    path runs (parallel/ulysses.py inner fns); the CPU suite can only cover
+    it in interpret mode (tests/test_ulysses.py)."""
+    from jax.sharding import Mesh, PartitionSpec as P
+    from video_gpt_tpu.ops.attention import attend
+
+    layout = build_layout([RowSpec((2, 2), "training")], N)
+    meta, q, k, v, _ = _qkv(layout, h=4)
+    mesh = Mesh(np.asarray(jax.devices()[:1]).reshape(1, 1),
+                ("data", "seq"))
+
+    def inner(q, k, v, q_meta, k_meta):
+        # head-sharded operands, metadata-mask pallas kernel — what
+        # ulysses_attend's inner runs per shard
+        return attend(q, k, v, q_meta, k_meta, impl="pallas")
+
+    meta_spec = jax.tree.map(lambda _: P("data", None), meta)
+    out = jax.jit(jax.shard_map(
+        inner, mesh=mesh,
+        in_specs=(P("data", "seq", None, None),) * 3 + (meta_spec,) * 2,
+        out_specs=P("data", "seq", None, None),
+        check_vma=False,
+    ))(q, k, v, meta, meta)
+    ref = mha_reference(q, k, v, attention_bias(meta, meta))
+    err = np.abs(np.asarray(out, np.float32) - np.asarray(ref, np.float32))
+    assert err.max() < 3e-2, err.max()
+
+
+def test_decode_kernel_inside_shard_map_on_chip():
+    """The cached SP-serving step per shard: the columnar DecodeMask kernel
+    on heads-major operands lowered inside ``jax.shard_map``
+    (ulysses_attend_cached's inner)."""
+    from jax.sharding import Mesh, PartitionSpec as P
+    from video_gpt_tpu.layout import frame_block_inference_layout
+    from video_gpt_tpu.models.video_gpt import decode_mask
+    from video_gpt_tpu.ops.attention import attend
+
+    layout = frame_block_inference_layout(8, 16, N, use_cfg=False)
+    meta = AttnMeta.from_layout(layout)
+    tail = layout.noisy_tail_len()
+    q_meta = meta.tail(tail)
+    b, l, h, d = layout.batch, layout.length, 4, 96
+    rng = jax.random.split(jax.random.PRNGKey(23), 3)
+    q = jax.random.normal(rng[0], (b, tail, h, d), jnp.bfloat16)
+    k = jax.random.normal(rng[1], (b, l, h, d), jnp.bfloat16)
+    v = jax.random.normal(rng[2], (b, l, h, d), jnp.bfloat16)
+    dp = d + (-d % 128)
+    pad = ((0, 0), (0, 0), (0, 0), (0, dp - d))
+    k_hm = jnp.pad(k.transpose(0, 2, 1, 3), pad)
+    v_hm = jnp.pad(v.transpose(0, 2, 1, 3), pad)
+    dm = decode_mask(q_meta, meta)
+    mesh = Mesh(np.asarray(jax.devices()[:1]).reshape(1, 1),
+                ("data", "seq"))
+
+    def inner(q, k, v, q_meta, k_meta, dm):
+        return attend(q, k, v, q_meta, k_meta, impl="pallas", bias=dm,
+                      kv_heads_major=True)
+
+    meta_spec = jax.tree.map(lambda _: P("data", None), meta)
+    dm_spec = jax.tree.map(lambda _: P("data", None), dm)
+    out = jax.jit(jax.shard_map(
+        inner, mesh=mesh,
+        in_specs=(P("data", None, "seq", None),
+                  P("data", "seq", None, None),
+                  P("data", "seq", None, None),
+                  jax.tree.map(lambda _: P("data", None), q_meta),
+                  meta_spec, dm_spec),
+        out_specs=P("data", None, "seq", None),
+        check_vma=False,
+    ))(q, k_hm, v_hm, q_meta, meta, dm)
+    ref = mha_reference(q, k, v, attention_bias(q_meta, meta))
+    err = np.abs(np.asarray(out, np.float32) - np.asarray(ref, np.float32))
+    assert err.max() < 3e-2, err.max()

@@ -159,15 +159,24 @@ class Phi3Attention(nn.Module):
             out = ulysses_attend(q, k, v, q_meta, k_meta,
                                  impl=cfg.attn_impl, bias=bias)
         else:
-            if cached:
-                # cached keys carry RoPE already (positions are constant
-                # across denoise steps within a block); concat heads-major
-                k = jnp.concatenate([cache[0].astype(k.dtype), new_kv[0]],
-                                    axis=2)
-                v = jnp.concatenate([cache[1].astype(v.dtype), new_kv[1]],
-                                    axis=2)
-            out = attend(q, k, v, q_meta, k_meta, impl=cfg.attn_impl,
-                         bias=bias, kv_heads_major=cached)
+            from ..ops.flash_attention import DecodeMask
+            if cached and isinstance(bias, DecodeMask):
+                # columnar decode: cache and tail feed the kernel as
+                # separate operands — no per-step concat copy of the cache
+                from ..ops.attention import attend_decode_split
+                out = attend_decode_split(q, cache[0], cache[1], new_kv[0],
+                                          new_kv[1], q_meta, k_meta, bias,
+                                          impl=cfg.attn_impl)
+            else:
+                if cached:
+                    # cached keys carry RoPE already (positions are constant
+                    # across denoise steps within a block); concat heads-major
+                    k = jnp.concatenate([cache[0].astype(k.dtype), new_kv[0]],
+                                        axis=2)
+                    v = jnp.concatenate([cache[1].astype(v.dtype), new_kv[1]],
+                                        axis=2)
+                out = attend(q, k, v, q_meta, k_meta, impl=cfg.attn_impl,
+                             bias=bias, kv_heads_major=cached)
         out = out.reshape(b, l, h * d)
         out = LoraDense(cfg.hidden_size, cfg.lora_rank, cfg.lora_alpha,
                         self.dtype, name="o_proj")(out)

@@ -135,6 +135,43 @@ def mha_chunked(q: jax.Array, k: jax.Array, v: jax.Array,
     return jnp.moveaxis(out, 0, 2).reshape(b, lq, h, d)
 
 
+def attend_decode_split(q: jax.Array, k_cache: jax.Array, v_cache: jax.Array,
+                        k_new: jax.Array, v_new: jax.Array,
+                        q_meta: AttnMeta, k_meta: AttnMeta, mask,
+                        impl: str = "auto") -> jax.Array:
+    """Cached-decode attention with SEPARATE cache/tail operands.
+
+    ``k/v_cache`` are the at-rest KVCache tensors [B,Hkv,Lc,Dp] (heads-major,
+    lane-padded), ``k/v_new`` the current tokens in the same layout, ``mask``
+    a :class:`~.flash_attention.DecodeMask` over the concatenated key space.
+    The split kernels consume both directly — no per-layer-per-step
+    ``concat([cache, new])`` copy (see ``_decode_split_kernel``). Falls back
+    to concat + :func:`attend` where the Pallas kernels don't apply (CPU
+    reference path, non-columnar masks)."""
+    from .flash_attention import (INTERPRET, DecodeMask,
+                                  flash_attention_supported,
+                                  flash_mha_decode_split,
+                                  flash_mha_decode_streaming_split)
+    assert isinstance(mask, DecodeMask)
+    if impl in ("auto", "pallas"):
+        b, hkv, lc, dp = k_cache.shape
+        lt = k_new.shape[2]
+        h = q.shape[2]
+        if flash_attention_supported(
+                q, jnp.empty((b, hkv, lc + lt, dp), k_cache.dtype), None,
+                kv_heads_major=True):
+            return flash_mha_decode_split(q, k_cache, v_cache, k_new, v_new,
+                                          mask)
+        if ((jax.default_backend() == "tpu" or INTERPRET)
+                and h % hkv == 0 and q.shape[3] <= 128):
+            return flash_mha_decode_streaming_split(
+                q, k_cache, v_cache, k_new, v_new, mask)
+    k = jnp.concatenate([k_cache.astype(k_new.dtype), k_new], axis=2)
+    v = jnp.concatenate([v_cache.astype(v_new.dtype), v_new], axis=2)
+    return attend(q, k, v, q_meta, k_meta, impl=impl, bias=mask,
+                  kv_heads_major=True)
+
+
 def attend(q: jax.Array, k: jax.Array, v: jax.Array,
            q_meta: AttnMeta, k_meta: AttnMeta, impl: str = "auto",
            bias: Optional[jax.Array] = None,

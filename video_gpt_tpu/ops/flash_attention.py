@@ -154,8 +154,12 @@ def _inline_kernel(q_idx_ref, q_blk_ref, q_off_ref, q_pad_ref,
         visible = (q_idx >= vis) | (
             (k_blk >= 0) & (k_blk == q_blk) & (q_off >= k_role)) | (
             (q_pad > 0) & (col < lk_real))
-        bias_ref[:] = jnp.where(visible, jnp.bfloat16(0),
-                                jnp.bfloat16(BF16_NEG))
+        # f32 select, not bf16: the i1 mask comes out of the int32 compares
+        # in (8, 128)-tiled layout, and relayouting it for a (16, 128) bf16
+        # select is an invalid relayout on real mosaic (interpret mode
+        # accepts it — caught by tests_tpu). The f32 scratch also skips the
+        # astype on every consuming head.
+        bias_ref[:] = jnp.where(visible, 0.0, float(BF16_NEG))
 
     q = q_ref[0, 0]
     k = k_ref[0, 0]
@@ -163,7 +167,7 @@ def _inline_kernel(q_idx_ref, q_blk_ref, q_off_ref, q_pad_ref,
     logits = jax.lax.dot_general(
         q, k, (((1,), (1,)), ((), ())),
         preferred_element_type=jnp.float32) * scale
-    logits = logits + bias_ref[:].astype(jnp.float32)
+    logits = logits + bias_ref[:]
     m = jnp.max(logits, axis=-1, keepdims=True)
     p = jnp.exp(logits - m)
     p = p / jnp.sum(p, axis=-1, keepdims=True)
@@ -571,6 +575,244 @@ def flash_mha_decode_streaming(q, k, v, mask: DecodeMask,
         ),
         interpret=interpret or INTERPRET,
     )(qoff, rank, qt, kt, vt)
+    return out[:, :, :lq, :d].transpose(0, 2, 1, 3)
+
+
+def _decode_split_kernel(qoff_ref, rankc_ref, rankt_ref, q_ref,
+                         kc_ref, vc_ref, kt_ref, vt_ref, o_ref, *,
+                         kscale: float):
+    """:func:`_decode_kernel` with SEPARATE cache/tail key operands.
+
+    The denoise scan's per-layer ``concat([cache, new_kv])`` costs a full
+    cache copy per layer per step (~8ms/step at flagship shapes, and 2x the
+    cache's HBM working set); feeding the kernel both operands directly
+    makes the step zero-copy — the unshifted-exp2 softmax sums and the
+    output accumulator simply add across the two score tiles."""
+    q = q_ref[0, 0]                    # [bq, Dp]
+    qoff = qoff_ref[0]                 # [bq, 1] int32 (sublane layout)
+    sc = jax.lax.dot_general(
+        q, kc_ref[0, 0], (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32) * kscale
+    pc = jnp.where(qoff >= rankc_ref[0, 0][None, :],
+                   jnp.exp2(jnp.clip(sc, -100.0, 100.0)), 0.0)
+    st = jax.lax.dot_general(
+        q, kt_ref[0, 0], (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32) * kscale
+    pt = jnp.where(qoff >= rankt_ref[0, 0][None, :],
+                   jnp.exp2(jnp.clip(st, -100.0, 100.0)), 0.0)
+    l = jnp.maximum(jnp.sum(pc, axis=-1, keepdims=True)
+                    + jnp.sum(pt, axis=-1, keepdims=True), 1e-30)
+    acc = (jnp.dot(pc.astype(vc_ref.dtype), vc_ref[0, 0],
+                   preferred_element_type=jnp.float32)
+           + jnp.dot(pt.astype(vt_ref.dtype), vt_ref[0, 0],
+                     preferred_element_type=jnp.float32))
+    o_ref[0, 0] = (acc / l).astype(o_ref.dtype)
+
+
+def _split_operands(q, k_cache, k_new, mask, block_q, block_kc=None):
+    """Shared padding/layout for the split decode kernels. Returns
+    (geometry, qoff [B,Lqp,1], rank_c [B,1,Lcp], rank_t [B,1,Ltp])."""
+    b, lq, h, d = q.shape
+    lc, lt = k_cache.shape[2], k_new.shape[2]
+    dp = k_cache.shape[-1]
+    bq = min(block_q, _round_up(lq, 8))
+    lqp = _round_up(lq, bq)
+    unit_c = block_kc if block_kc is not None else 128
+    unit_t = block_kc if block_kc is not None else 128
+    lcp = _round_up(lc, unit_c)
+    ltp = _round_up(lt, unit_t)
+    qoff = jnp.pad(mask.q_off, ((0, 0), (0, lqp - lq)),
+                   constant_values=2**30)[:, :, None]
+    rank_c = jnp.pad(mask.rank[:, :lc], ((0, 0), (0, lcp - lc)),
+                     constant_values=2**30)[:, None, :]
+    rank_t = jnp.pad(mask.rank[:, lc:], ((0, 0), (0, ltp - lt)),
+                     constant_values=2**30)[:, None, :]
+    return (b, lq, h, d, lc, lt, dp, bq, lqp, lcp, ltp), qoff, rank_c, rank_t
+
+
+def _pad_hm(x, lp):
+    """Pad a heads-major [B, Hkv, L, Dp] operand to L=lp."""
+    return jnp.pad(x, ((0, 0), (0, 0), (0, lp - x.shape[2]), (0, 0)))
+
+
+def flash_mha_decode_split(q, k_cache, v_cache, k_new, v_new,
+                           mask: DecodeMask,
+                           block_q: Optional[int] = None,
+                           interpret: bool = False) -> jax.Array:
+    """Resident columnar-rank decode with separate cache/tail operands.
+
+    q [B,Lq,H,D]; k/v_cache [B,Hkv,Lc,Dp] (the at-rest KVCache layout,
+    lane-padded); k/v_new [B,Hkv,Lt,Dp] (the current tokens, as emitted by
+    the attention layer). ``mask.rank`` covers the concatenated key space
+    [B, Lc+Lt] in cache-then-tail order. Bit-identical math to
+    :func:`flash_mha_decode` over ``concat([cache, new], axis=2)`` — minus
+    the concat copy (see ``_decode_split_kernel``)."""
+    b, lq, h, d = q.shape
+    if block_q is None:
+        block_q = _fwd_block_q(lq, k_cache.shape[2] + k_new.shape[2])
+    kscale = d ** -0.5 * 1.4426950408889634
+    (b, lq, h, d, lc, lt, dp, bq, lqp, lcp, ltp), qoff, rank_c, rank_t = \
+        _split_operands(q, k_cache, k_new, mask, block_q)
+    group = h // k_cache.shape[1]
+    qt = jnp.pad(q.transpose(0, 2, 1, 3),
+                 ((0, 0), (0, 0), (0, lqp - lq), (0, dp - d)))
+    kc, vc = _pad_hm(k_cache, lcp), _pad_hm(v_cache, lcp)
+    kt, vt = _pad_hm(k_new, ltp), _pad_hm(v_new, ltp)
+
+    grid = (b, h, lqp // bq)
+    out = pl.pallas_call(
+        functools.partial(_decode_split_kernel, kscale=kscale),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, bq, 1), lambda bi, hi, qi: (bi, qi, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, lcp), lambda bi, hi, qi: (bi, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, ltp), lambda bi, hi, qi: (bi, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, bq, dp), lambda bi, hi, qi: (bi, hi, qi, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, lcp, dp),
+                         lambda bi, hi, qi: (bi, hi // group, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, lcp, dp),
+                         lambda bi, hi, qi: (bi, hi // group, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, ltp, dp),
+                         lambda bi, hi, qi: (bi, hi // group, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, ltp, dp),
+                         lambda bi, hi, qi: (bi, hi // group, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, 1, bq, dp),
+                               lambda bi, hi, qi: (bi, hi, qi, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((b, h, lqp, dp), q.dtype),
+        cost_estimate=pl.CostEstimate(
+            flops=4 * b * h * lqp * (lcp + ltp) * dp,
+            bytes_accessed=(qt.size + kc.size + vc.size + kt.size + vt.size
+                            + b * h * lqp * dp) * qt.dtype.itemsize,
+            transcendentals=b * h * lqp * (lcp + ltp),
+        ),
+        interpret=interpret or INTERPRET,
+    )(qoff, rank_c, rank_t, qt, kc, vc, kt, vt)
+    return out[:, :, :lq, :d].transpose(0, 2, 1, 3)
+
+
+def _stream_decode_split_kernel(qoff_ref, rankc_ref, rankt_ref, q_ref,
+                                kc_ref, vc_ref, kt_ref, vt_ref, o_ref,
+                                l_scr, acc_scr, *, kscale: float, nkc: int):
+    """:func:`_stream_decode_kernel` with separate cache/tail operands: the
+    k-grid runs over cache tiles then tail tiles; each iteration SELECTS the
+    active tile pair with a VPU ``where`` (both tiles sit in VMEM; the
+    inactive ref's index map holds its block constant so Pallas skips its
+    DMA). No concatenated K/V array ever exists in HBM."""
+    ki = pl.program_id(3)
+    nk = pl.num_programs(3)
+
+    @pl.when(ki == 0)
+    def _():
+        l_scr[:] = jnp.zeros_like(l_scr)
+        acc_scr[:] = jnp.zeros_like(acc_scr)
+
+    in_cache = ki < nkc
+    k = jnp.where(in_cache, kc_ref[0, 0], kt_ref[0, 0])
+    v = jnp.where(in_cache, vc_ref[0, 0], vt_ref[0, 0])
+    rank = jnp.where(in_cache, rankc_ref[0, 0], rankt_ref[0, 0])[None, :]
+    q = q_ref[0, 0]
+    s = jax.lax.dot_general(
+        q, k, (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32) * kscale
+    qoff = qoff_ref[0]
+    p = jnp.where(qoff >= rank,
+                  jnp.exp2(jnp.clip(s, -100.0, 100.0)), 0.0)
+    l_scr[:] = l_scr[:] + jnp.broadcast_to(
+        jnp.sum(p, axis=-1, keepdims=True), l_scr.shape)
+    acc_scr[:] = acc_scr[:] + jnp.dot(p.astype(v.dtype), v,
+                                      preferred_element_type=jnp.float32)
+
+    @pl.when(ki == nk - 1)
+    def _():
+        denom = jnp.maximum(l_scr[:, :1], 1e-30)
+        o_ref[0, 0] = (acc_scr[:] / denom).astype(o_ref.dtype)
+
+
+def flash_mha_decode_streaming_split(q, k_cache, v_cache, k_new, v_new,
+                                     mask: DecodeMask,
+                                     block_q: int = 512, block_k: int = 512,
+                                     interpret: bool = False) -> jax.Array:
+    """Length-unbounded split-operand decode (long-rollout windows): the
+    concat the split removes is at its largest here — 2 x [B,Hkv,Lk,Dp]
+    fresh HBM copies per layer per step at Lk up to ~18k keys."""
+    b, lq, h, d = q.shape
+    kscale = d ** -0.5 * 1.4426950408889634
+    bq0 = min(block_q, _round_up(lq, 8))
+    bk = min(block_k,
+             max(_round_up(k_cache.shape[2], 128),
+                 _round_up(k_new.shape[2], 128)))
+    (b, lq, h, d, lc, lt, dp, bq, lqp, lcp, ltp), qoff, rank_c, rank_t = \
+        _split_operands(q, k_cache, k_new, mask, bq0, block_kc=bk)
+    group = h // k_cache.shape[1]
+    qt = jnp.pad(q.transpose(0, 2, 1, 3),
+                 ((0, 0), (0, 0), (0, lqp - lq), (0, dp - d)))
+    kc, vc = _pad_hm(k_cache, lcp), _pad_hm(v_cache, lcp)
+    kt, vt = _pad_hm(k_new, ltp), _pad_hm(v_new, ltp)
+    nkc, nkt = lcp // bk, ltp // bk
+
+    grid = (b, h, lqp // bq, nkc + nkt)
+
+    # inactive ref holds its last/first block -> Pallas elides its DMA
+    def ci(ki):
+        return jnp.minimum(ki, nkc - 1)
+
+    def ti(ki):
+        return jnp.maximum(ki - nkc, 0)
+    out = pl.pallas_call(
+        functools.partial(_stream_decode_split_kernel, kscale=kscale,
+                          nkc=nkc),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, bq, 1), lambda bi, hi, qi, ki: (bi, qi, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, bk),
+                         lambda bi, hi, qi, ki: (bi, 0, ci(ki)),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, bk),
+                         lambda bi, hi, qi, ki: (bi, 0, ti(ki)),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, bq, dp),
+                         lambda bi, hi, qi, ki: (bi, hi, qi, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, bk, dp),
+                         lambda bi, hi, qi, ki: (bi, hi // group, ci(ki), 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, bk, dp),
+                         lambda bi, hi, qi, ki: (bi, hi // group, ci(ki), 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, bk, dp),
+                         lambda bi, hi, qi, ki: (bi, hi // group, ti(ki), 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, bk, dp),
+                         lambda bi, hi, qi, ki: (bi, hi // group, ti(ki), 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, 1, bq, dp),
+                               lambda bi, hi, qi, ki: (bi, hi, qi, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((b, h, lqp, dp), q.dtype),
+        scratch_shapes=[
+            pltpu.VMEM((bq, 128), jnp.float32),
+            pltpu.VMEM((bq, dp), jnp.float32),
+        ],
+        cost_estimate=pl.CostEstimate(
+            flops=4 * b * h * lqp * (lcp + ltp) * dp,
+            bytes_accessed=(qt.size + kc.size + vc.size + kt.size + vt.size
+                            + b * h * lqp * dp) * qt.dtype.itemsize,
+            transcendentals=b * h * lqp * (lcp + ltp),
+        ),
+        interpret=interpret or INTERPRET,
+    )(qoff, rank_c, rank_t, qt, kc, vc, kt, vt)
     return out[:, :, :lq, :d].transpose(0, 2, 1, 3)
 
 
@@ -1219,7 +1461,10 @@ def flash_mha(q: jax.Array, k: jax.Array, v: jax.Array,
                   qspec(), kvspec(), kvspec()],
         out_specs=qspec(),
         out_shape=out_shape,
-        scratch_shapes=[pltpu.VMEM((block_q, lkp), jnp.bfloat16)],
+        # f32 (not bf16): see the relayout note in _inline_kernel. VMEM cost
+        # at the auto block sizes: 128x5504x4 = 2.8M (<=5504 keys) or
+        # 64x8192x4 = 2M (beyond) — inside budget next to K/V.
+        scratch_shapes=[pltpu.VMEM((block_q, lkp), jnp.float32)],
         interpret=interpret or INTERPRET,
         cost_estimate=cost,
     )(q_idx, q_blk, q_off, q_pad, vis, k_blk, k_role, qt, kt, vt)
