@@ -265,6 +265,96 @@ def bench_train_stage4():
                       "frame-block clip")
 
 
+def bench_train_stage1_fulldepth():
+    """FULL-depth (32-layer, 3.8B) non-LoRA stage-1 train step on ONE chip
+    via the host-offloaded AdamW (training/offload.py): bf16 params + grads
+    in HBM, f32 master/mu/nu (45.6G) in pinned_host memory, update math as
+    host compute — the TPU analogue of the reference's ZeRO-offload
+    (stage3_offload_bf16_dp.json:10-19). Step time is dominated by the
+    host path on this environment (grads d2h at ~2.1 GB/s, host math —
+    measured by scripts/offload_probe.py); the leg exists to prove the
+    full-depth single-chip capability, not to win throughput."""
+    from video_gpt_tpu.config import ModelConfig, stage_config
+    from video_gpt_tpu.data.video import VideoClipDataset
+    from video_gpt_tpu.layout import tokens_per_frame
+    from video_gpt_tpu.models.vae import AutoencoderKL, VAEConfig
+    from video_gpt_tpu.models.video_gpt import VideoGPT
+    from video_gpt_tpu.training.data import collate
+    from video_gpt_tpu.training.offload import (init_offload_state,
+                                                make_offload_train_step)
+
+    frame_num = 16
+    tcfg = stage_config(1, frame_num=frame_num)
+    mcfg = ModelConfig(remat=True)  # full 32 layers
+    model = VideoGPT(mcfg, dtype=jnp.bfloat16, train_init=True)
+    vae = AutoencoderKL(VAEConfig(), dtype=jnp.bfloat16)
+    ds = VideoClipDataset(VIDS, frame_num=frame_num, frame_interval=4,
+                          target_resolution=(H, W), scheme="interleaved",
+                          seed=0)
+    n_img = tokens_per_frame(H, W)
+    tb = collate([ds.sample(0)], n_img)
+    length = tb.inputs.batch.input_ids.shape[1]
+    hl, wl = H // 8, W // 8
+    nn_, nc = tb.noisy_sel.shape[0], tb.clean_sel.shape[0]
+
+    vparams = jax.eval_shape(lambda: vae.init(
+        jax.random.PRNGKey(1), jnp.zeros((1, H, W, 3), jnp.bfloat16),
+        jax.random.PRNGKey(2), True))
+    vparams = jax.tree.map(lambda s: jnp.zeros(
+        s.shape, jnp.bfloat16 if jnp.issubdtype(s.dtype, jnp.floating)
+        else s.dtype), vparams)
+    # bf16 zeros straight from shapes: a full f32 init (15.2G) would not
+    # even fit in HBM — exactly why the master copy lives on the host
+    shapes = jax.eval_shape(lambda: model.init(
+        jax.random.PRNGKey(3), tb.inputs.batch,
+        jnp.zeros((nn_, hl, wl, 4), jnp.bfloat16),
+        jnp.zeros((nn_,), jnp.bfloat16),
+        jnp.zeros((nc, hl, wl, 4), jnp.bfloat16)))
+    params = jax.tree.map(lambda s: jnp.zeros(
+        s.shape, jnp.bfloat16 if jnp.issubdtype(s.dtype, jnp.floating)
+        else s.dtype), shapes)
+    ostate = init_offload_state(params)
+    # grad_splits=2: one pass's full bf16 grad-accumulator tree (7.6G) +
+    # the bf16 params (7.0G) overshoot 15.75G HBM by ~0.4G; two passes
+    # halve the live accumulators for a re-run of the forward
+    inner = make_offload_train_step(model, tcfg, max_blocks=frame_num,
+                                    grad_splits=2)
+    enc = jax.jit(lambda vparams, pixels, rng: vae.apply(
+        vparams, pixels, rng, method=AutoencoderKL.encode))
+
+    def full_step(params, ostate, rng, tb):
+        # eager orchestration: VAE-encode jit, then the two-phase offload
+        # step (fwd+bwd with host-bound grads; per-leaf host AdamW)
+        r_enc, r_loss = jax.random.split(rng)
+        latents = enc(vparams, tb.pixels, r_enc)
+        inputs = tb.inputs._replace(
+            x1=jnp.take(latents, tb.noisy_sel, axis=0),
+            clean_latents=jnp.take(latents, tb.clean_sel, axis=0))
+        return inner(params, ostate, r_loss, inputs)
+
+    params, ostate, m = full_step(params, ostate, jax.random.PRNGKey(0), tb)
+    jax.block_until_ready(m["loss"])  # compile + step 0
+    times = []
+    for i in range(2):
+        t0 = time.perf_counter()
+        params, ostate, m = full_step(
+            params, ostate, jax.random.fold_in(jax.random.PRNGKey(1), i),
+            tb)
+        jax.block_until_ready((params, ostate, m["loss"]))
+        times.append(time.perf_counter() - t0)
+    dt = _median(times)
+    _emit({
+        "metric": "stage-1 train step, FULL-depth 3.8B/32-layer, ONE chip, "
+                  f"host-offloaded AdamW ({length} tokens, VAE encode + fwd "
+                  "+ bwd + host AdamW, bf16 params, f32 master/mu/nu in "
+                  "pinned_host)",
+        "value": round(length / dt, 1),
+        "unit": "tokens/s/chip",
+        "step_s": round(dt, 4),
+        "loss_finite": bool(np.isfinite(float(m["loss"]))),
+    })
+
+
 def bench_lora_stage4():
     """Full-scale (32-layer, 3.8B) stage-4 LoRA fine-tune step on ONE chip:
     frozen bf16 base + LoRA adapters + remat."""
@@ -348,6 +438,7 @@ ALL = {
     "long_rollout": bench_long_rollout,
     "train_stage1": bench_train_stage1,
     "train_stage4": bench_train_stage4,
+    "train_stage1_fulldepth": bench_train_stage1_fulldepth,
     "lora_stage4": bench_lora_stage4,
     "train_depth_scaling": bench_train_depth_scaling,
 }

@@ -60,6 +60,17 @@ def main():
     # constant and would make any schedule look drift-free
     params = model.init(jax.random.PRNGKey(2), batch_c, z0,
                         jnp.zeros((N_GEN,), dtype), clean)
+    # the head (final_layer) is itself zero-initialised per reference parity
+    # (LVM/model.py:240-244) — a fresh model predicts EXACTLY zero for any
+    # context, which would again make every schedule trivially drift-free.
+    # Re-roll those zero leaves so predictions are context-dependent.
+    head = params["params"]["final_layer"]
+    leaves, treedef = jax.tree.flatten(head)
+    keys = jax.random.split(jax.random.PRNGKey(7), len(leaves))
+    head = jax.tree.unflatten(treedef, [
+        jax.random.normal(k, l.shape, l.dtype) * 0.05
+        for k, l in zip(keys, leaves)])
+    params["params"]["final_layer"] = head
 
     def run(interval):
         sched = SchedulerConfig(num_steps=STEPS, prediction_type="x1",

@@ -35,22 +35,35 @@ def emit(**kw):
 
 
 def probe_bandwidth():
-    big = jax.device_put(jnp.ones((64, 1024, 1024), jnp.float32), HOST)
-    g = jnp.zeros((64, 1024, 1024), jnp.float32)
+    """h2d and d2h separately; a reduction on the device side makes the h2d
+    copy un-elidable, and alternating buffers defeat result caching."""
+    big = [jax.device_put(jnp.full((64, 1024, 1024), float(i), jnp.float32),
+                          HOST) for i in range(4)]
+    jax.block_until_ready(big)
 
     @jax.jit
-    def rt(a_host, g):
-        return jax.device_put(jax.device_put(a_host, DEVM) + g, HOST)
+    def h2d_sum(a_host):
+        return jnp.sum(jax.device_put(a_host, DEVM))
 
-    r = rt(big, g)
-    jax.block_until_ready(r)
+    h2d_sum(big[0]).block_until_ready()
     t0 = time.perf_counter()
-    for _ in range(3):
-        r = rt(r, g)
-        jax.block_until_ready(r)
-    dt = (time.perf_counter() - t0) / 3
-    emit(probe="bandwidth_roundtrip_256MB", ms=round(dt * 1e3, 1),
-         gbps_roundtrip=round(2 * 0.25 / dt, 2))
+    for i in range(4):
+        h2d_sum(big[i]).block_until_ready()
+    dt = (time.perf_counter() - t0) / 4
+    emit(probe="h2d_256MB", ms=round(dt * 1e3, 2),
+         gbps=round(0.25 / dt, 2))
+
+    dev = [jnp.full((64, 1024, 1024), float(i), jnp.float32)
+           for i in range(4)]
+    jax.block_until_ready(dev)
+    to_host = jax.jit(lambda a: jax.device_put(a + 1.0, HOST))
+    to_host(dev[0]).block_until_ready()
+    t0 = time.perf_counter()
+    for i in range(4):
+        to_host(dev[i]).block_until_ready()
+    dt = (time.perf_counter() - t0) / 4
+    emit(probe="d2h_256MB", ms=round(dt * 1e3, 2),
+         gbps=round(0.25 / dt, 2))
 
 
 def probe_scan_streaming():
@@ -62,7 +75,9 @@ def probe_scan_streaming():
 
     def trunk(w, x):
         def body(c, wi):
-            return jnp.tanh(c @ wi), None
+            # explicit h2d of THIS layer's slice (memory spaces are strictly
+            # typed: host operands cannot feed dot_general directly)
+            return jnp.tanh(c @ jax.device_put(wi, DEVM)), None
         out, _ = jax.lax.scan(body, x, w)
         return out
 
@@ -94,7 +109,7 @@ def probe_grad_of_host_stack():
 
     def loss(w, x):
         def body(c, wi):
-            return jnp.tanh(c @ wi), None
+            return jnp.tanh(c @ jax.device_put(wi, DEVM)), None
         out, _ = jax.lax.scan(
             jax.checkpoint(body, policy=jax.checkpoint_policies
                            .nothing_saveable), x, w)
@@ -130,11 +145,13 @@ def probe_host_compute_update():
 
     @jax.jit
     def step(master, mu, grad):
+        grad_h = jax.device_put(grad, HOST)  # d2h before mixing spaces
         with compute_on.compute_on("device_host"):
-            g32 = grad.astype(jnp.float32)
+            g32 = grad_h.astype(jnp.float32)
             mu2 = 0.9 * mu + 0.1 * g32
             master2 = master - 1e-3 * mu2
-        params_dev = jax.device_put(master2.astype(jnp.bfloat16), DEVM)
+            params_half = master2.astype(jnp.bfloat16)
+        params_dev = jax.device_put(params_half, DEVM)
         return (jax.device_put(master2, HOST), jax.device_put(mu2, HOST),
                 params_dev)
 
