@@ -145,7 +145,8 @@ def main():
     else:
         cached_clip = cached_clip_batched
         z0_fast = jnp.concatenate([z0[:N_GEN], z0[:N_GEN]], axis=0)
-    cached_clip(params, clean, z0_fast).block_until_ready()  # compile
+    from video_gpt_tpu.utils.profiling import force_ready
+    force_ready(cached_clip(params, clean, z0_fast))  # compile barrier
     ts = []
     for _ in range(REPS):
         t0 = time.perf_counter()
@@ -153,7 +154,7 @@ def main():
         ts.append(time.perf_counter() - t0)
     t_cached = median(ts)
 
-    uncached_clip(params, clean, z0).block_until_ready()
+    force_ready(uncached_clip(params, clean, z0))
     ts = []
     for _ in range(max(REPS - 1, 1)):
         t0 = time.perf_counter()

@@ -44,6 +44,12 @@ enable_compilation_cache()
 VIDS = os.environ.get("BENCH_VIDS", "/root/reference/vids")
 STEPS = int(os.environ.get("BENCH_STEPS", 10))
 H, W = 176, 320
+# serving default, same as bench.py: guidance only where sigma is in
+# [lo, hi); the uncond forward is skipped (not even compiled) elsewhere.
+# Drift vs always-CFG is measured by scripts/cfg_drift.py.
+_ival = os.environ.get("BENCH_CFG_INTERVAL", "0.15,0.7")
+CFG_INTERVAL = (None if _ival in ("none", "") else
+                tuple(float(x) for x in _ival.split(",")))
 # 4 layers: f32 AdamW master state + the f32 nn.scan grad stacks for 8+
 # layers exceed one v5e's 15.75G HBM (the reference trains this under
 # ZeRO-2 on 8 devices); per-layer cost is depth-invariant under nn.scan.
@@ -122,7 +128,8 @@ def bench_batched_inference():
         out = pipe.generate(frames, gen_nums=[n_gen],
                             num_inference_steps=STEPS,
                             img_guidance_scale=1.5,
-                            max_input_image_size=W, seed=0)
+                            max_input_image_size=W, seed=0,
+                            cfg_interval=CFG_INTERVAL)
         return time.perf_counter() - t0, len(out)
 
     for path in videos:  # warm every per-signature jit (aspect ratios vary)
@@ -149,7 +156,8 @@ def bench_long_rollout():
     frames = _read_frames(os.path.join(VIDS, "plane.mp4"), 8)
     kw = dict(gen_nums=[24, 24], num_inference_steps=STEPS,
               img_guidance_scale=1.5, max_input_image_size=W,
-              max_frame_window=80, clean_image_noise_level=0.0, seed=0)
+              max_frame_window=80, clean_image_noise_level=0.0, seed=0,
+              cfg_interval=CFG_INTERVAL)
     t0 = time.perf_counter()
     out = pipe.generate(frames, **kw)
     compile_and_run = time.perf_counter() - t0
@@ -220,9 +228,10 @@ def _train_step_bench(stage, frame_num, num_layers, label):
             clean_latents=jnp.take(latents, tb.clean_sel, axis=0))
         return inner(state, r_loss, inputs)
 
+    from video_gpt_tpu.utils.profiling import force_ready
     step = jax.jit(full_step, donate_argnums=(0,))
     state, m = step(state, vparams, jax.random.PRNGKey(0), tb)
-    jax.block_until_ready(m["loss"])  # compile + step 0
+    force_ready(m["loss"])  # compile barrier + step 0
     times = []
     for i in range(3):
         t0 = time.perf_counter()
@@ -332,8 +341,9 @@ def bench_train_stage1_fulldepth():
             clean_latents=jnp.take(latents, tb.clean_sel, axis=0))
         return inner(params, ostate, r_loss, inputs)
 
+    from video_gpt_tpu.utils.profiling import force_ready
     params, ostate, m = full_step(params, ostate, jax.random.PRNGKey(0), tb)
-    jax.block_until_ready(m["loss"])  # compile + step 0
+    force_ready(m["loss"])  # compile barrier + step 0
     times = []
     for i in range(2):
         t0 = time.perf_counter()
@@ -410,9 +420,10 @@ def bench_lora_stage4():
                               jnp.bfloat16)
     inputs = tb.inputs._replace(x1=x1, clean_latents=clean)
 
+    from video_gpt_tpu.utils.profiling import force_ready
     step = jax.jit(inner, donate_argnums=(0,))
     state, m = step(state, jax.random.PRNGKey(0), inputs)
-    jax.block_until_ready(m["loss"])
+    force_ready(m["loss"])
     times = []
     for i in range(3):
         t0 = time.perf_counter()

@@ -33,8 +33,9 @@ UNROLL = int(os.environ.get("UNROLL", "1"))
 
 
 def timed(fn, *args):
+    from video_gpt_tpu.utils.profiling import force_ready
     out = fn(*args)
-    jax.block_until_ready(out)
+    force_ready(out)  # block_until_ready no-ops while remote-compiling
     ts = []
     for _ in range(REPS):
         t0 = time.perf_counter()

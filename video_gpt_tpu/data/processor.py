@@ -51,7 +51,14 @@ def preprocess_frames(frames: Sequence, max_image_size: int) -> np.ndarray:
 
 
 def postprocess_frames(pixels: np.ndarray) -> List[Image.Image]:
-    """[N, H, W, 3] in [-1, 1] -> PIL images (LVM/pipeline.py:585-589)."""
-    x = np.clip(np.asarray(pixels, np.float32) * 0.5 + 0.5, 0.0, 1.0)
-    x = (x * 255.0).astype(np.uint8)
+    """[N, H, W, 3] in [-1, 1] -> PIL images (LVM/pipeline.py:585-589).
+
+    uint8 input is taken as already-converted pixels (the pipeline's
+    ``_decode_u8`` fuses the clip/scale/truncate into the VAE-decode jit on
+    device — same ops, same f32 order, bit-identical bytes — so the host
+    does no float math and the device->host transfer is 4x smaller)."""
+    x = np.asarray(pixels)
+    if x.dtype != np.uint8:
+        x = np.clip(x.astype(np.float32) * 0.5 + 0.5, 0.0, 1.0)
+        x = (x * 255.0).astype(np.uint8)
     return [Image.fromarray(f) for f in x]

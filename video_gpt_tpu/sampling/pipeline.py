@@ -75,6 +75,21 @@ class VideoGPTPipeline:
                                   method=AutoencoderKL.decode)
         return fn
 
+    @functools.cached_property
+    def _decode_u8(self):
+        """VAE decode fused with the [-1,1] -> uint8 pixel conversion: the
+        same f32 ops as the host path in data.processor.postprocess_frames
+        (bit-identical bytes), but run on device so the emit path ships 4x
+        fewer bytes and does no host float math (measured 0.42s/24 frames
+        on the host, scripts/profile_rollout.py)."""
+        @jax.jit
+        def fn(vae_params, latents):
+            px = self.vae.apply(vae_params, latents,
+                                method=AutoencoderKL.decode)
+            x = jnp.clip(px.astype(jnp.float32) * 0.5 + 0.5, 0.0, 1.0)
+            return (x * 255.0).astype(jnp.uint8)
+        return fn
+
     def _jit_cached(self, key, builder):
         cache_dict = self.__dict__.setdefault("_block_fns", {})
         if key not in cache_dict:
@@ -305,22 +320,25 @@ class VideoGPTPipeline:
             if emit_initial:
                 # emit the VAE round-trip of the conditioning frames
                 if n_clean:
-                    init_px = self._decode(self.vae_params, jnp.stack(
+                    init_u8 = self._decode_u8(self.vae_params, jnp.stack(
                         clean_latents))
-                    outputs.extend(postprocess_frames(np.asarray(
-                        init_px, np.float32)))
+                    outputs.extend(postprocess_frames(np.asarray(init_u8)))
                 emit_initial = False
 
-            out_px = self._decode(self.vae_params, samples)
-            outputs.extend(postprocess_frames(np.asarray(out_px, np.float32)))
             recycled = samples
             if vae_roundtrip_recycle:
                 # reference semantics: re-encode the DECODED pixels
                 # (LVM/pipeline.py:491-498); the extend/prefill of the next
                 # block reads clean_latents, so the KV cache stays consistent
+                out_px = self._decode(self.vae_params, samples)
+                outputs.extend(postprocess_frames(np.asarray(out_px,
+                                                             np.float32)))
                 rng, rrng = jax.random.split(rng)
                 recycled = self._encode(self.vae_params,
                                         out_px.astype(dtype), rrng)
+            else:
+                out_u8 = self._decode_u8(self.vae_params, samples)
+                outputs.extend(postprocess_frames(np.asarray(out_u8)))
             for i in range(gen_num):
                 out_latents.append(samples[i])
                 clean_latents.append(recycled[i])
