@@ -62,6 +62,44 @@ def test_extend_cache_equals_fresh_prefill():
                                atol=1e-5, rtol=1e-5)
 
 
+def test_extend_mask_collapse_matches_dense_rule():
+    """extend_mask's columnar collapse (q_index >= vis_start[k], valid for
+    clean queries regardless of keys) must agree BIT-FOR-BIT in masking
+    with the general metadata rule, evaluated through the actual split
+    decode kernel (interpret mode)."""
+    from video_gpt_tpu.models.video_gpt import extend_mask
+    from video_gpt_tpu.ops.attention import AttnMeta, mha_reference
+    from video_gpt_tpu.ops.attention import attention_bias
+    from video_gpt_tpu.ops.flash_attention import flash_mha_decode_split
+
+    n1, gen = 2, 2
+    n2 = n1 + gen
+    lay = frame_block_inference_layout(n2, gen, N_IMG, use_cfg=False)
+    batch = Batch.from_layout(lay)
+    seg = N_IMG + 2
+    old, new = n1 * seg, gen * seg
+    sl = slice(old, old + new)
+    q_meta = AttnMeta(*(x[:, sl] for x in batch.meta))
+    k_meta = AttnMeta(*(x[:, :old + new] for x in batch.meta))
+    # extend queries are clean tokens — the premise of the collapse
+    assert (np.asarray(q_meta.q_block) == -1).all()
+
+    h, hkv, d = 2, 2, 8
+    key = jax.random.PRNGKey(3)
+    q = jax.random.normal(key, (1, new, h, d), jnp.float32)
+    k = jax.random.normal(jax.random.PRNGKey(4), (1, hkv, old + new, d))
+    v = jax.random.normal(jax.random.PRNGKey(5), (1, hkv, old + new, d))
+    mask = extend_mask(q_meta, k_meta)
+
+    got = flash_mha_decode_split(q, k[:, :, :old], v[:, :, :old],
+                                 k[:, :, old:], v[:, :, old:], mask,
+                                 interpret=True)
+    bias = attention_bias(q_meta, k_meta, jnp.float32)
+    want = mha_reference(q, k, v, bias, kv_heads_major=True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               atol=1e-5, rtol=1e-5)
+
+
 def test_pipeline_uses_extension_and_is_deterministic():
     from video_gpt_tpu.models.vae import AutoencoderKL, VAEConfig
     from video_gpt_tpu.sampling.pipeline import VideoGPTPipeline

@@ -102,6 +102,23 @@ def decode_mask(q_meta: AttnMeta, k_meta: AttnMeta):
     return DecodeMask(rank=rank.astype(jnp.int32), q_off=q_meta.q_offset)
 
 
+def extend_mask(q_meta: AttnMeta, k_meta: AttnMeta):
+    """Columnar mask for the cache-extend step.
+
+    Extend queries are CLEAN tokens (the clean copies of the previous
+    block's predictions — extend_cache's contract), so the noisy term of
+    the general visibility rule (``noisy_block[k] == q_block[q] >= 0``) is
+    identically false (clean queries carry ``q_block = -1``) and the rule
+    collapses EXACTLY, for any keys, to ``q_index >= vis_start[k]`` — the
+    columnar ``q_off >= rank`` form the decode kernels evaluate. This
+    routes extend through the split decode kernel (~3x the inline rule's
+    throughput at extend shapes: 29 -> ~9 ms/layer measured on v5e) and
+    removes the per-layer cache concat."""
+    from ..ops.flash_attention import DecodeMask
+    return DecodeMask(rank=k_meta.vis_start.astype(jnp.int32),
+                      q_off=q_meta.index.astype(jnp.int32))
+
+
 def _scatter(emb: jax.Array, src: jax.Array, values: jax.Array) -> jax.Array:
     """Replace emb[b, l] with values[src[b, l]] where src >= 0."""
     flat = values.reshape(-1, values.shape[-1])
@@ -262,7 +279,7 @@ class VideoGPT(nn.Module):
         k_meta = AttnMeta(*(x[:, :old + new_len] for x in batch.meta))
         _, new_kv = self.llm(emb, batch.pos_ids[:, sl], q_meta, k_meta,
                              cache=cache,
-                             bias=self._maybe_bias(q_meta, k_meta))
+                             bias=extend_mask(q_meta, k_meta))
         # heads-major stacked cache [layers, B, H_kv, L, D]: append along L
         grown = KVCache(jnp.concatenate([cache.k, new_kv.k], axis=3),
                         jnp.concatenate([cache.v, new_kv.v], axis=3))

@@ -512,13 +512,18 @@ def _stream_decode_kernel(qoff_ref, rank_ref, q_ref, k_ref, v_ref, o_ref,
 
 
 def flash_mha_decode_streaming(q, k, v, mask: DecodeMask,
-                               block_q: int = 512, block_k: int = 512,
+                               block_q: int = 2048, block_k: int = 512,
                                interpret: bool = False,
                                kv_heads_major: bool = False) -> jax.Array:
     """Length-unbounded columnar-rank decode (fwd-only): the resident
     :func:`flash_mha_decode` caps at ~8k keys (full key row in VMEM); this
     streams k-tiles for the 80-frame-window rollouts (Lk to ~24k) where
-    the inference layouts collapse to a per-key rank."""
+    the inference layouts collapse to a per-key rank.
+
+    block_q default 2048: each q-block re-streams the whole K/V row from
+    HBM, so tall q-blocks cut the dominant DMA term ~linearly; measured
+    21.7 -> 19.4 ms/layer at the 240x320 block-1 rollout shape
+    (Lq 7248, Lk 16912; scripts/kernel_sweep.py on v5e)."""
     b, lq, h, d = q.shape
     lk, hkv = _kv_dims(k, kv_heads_major)
     kscale = d ** -0.5 * 1.4426950408889634  # scale * log2(e)
@@ -740,11 +745,15 @@ def _stream_decode_split_kernel(qoff_ref, rankc_ref, rankt_ref, q_ref,
 
 def flash_mha_decode_streaming_split(q, k_cache, v_cache, k_new, v_new,
                                      mask: DecodeMask,
-                                     block_q: int = 512, block_k: int = 512,
+                                     block_q: int = 2048, block_k: int = 512,
                                      interpret: bool = False) -> jax.Array:
     """Length-unbounded split-operand decode (long-rollout windows): the
     concat the split removes is at its largest here — 2 x [B,Hkv,Lk,Dp]
-    fresh HBM copies per layer per step at Lk up to ~18k keys."""
+    fresh HBM copies per layer per step at Lk up to ~18k keys.
+
+    block_q default 2048: see :func:`flash_mha_decode_streaming` (tall
+    q-blocks amortise the per-q-block K/V re-stream; measured best of a
+    {256..2048}^2 sweep at the block-1 rollout shape)."""
     b, lq, h, d = q.shape
     kscale = d ** -0.5 * 1.4426950408889634
     bq0 = min(block_q, _round_up(lq, 8))
