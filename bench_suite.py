@@ -56,8 +56,17 @@ CFG_INTERVAL = (None if _ival in ("none", "") else
 NUM_LAYERS = int(os.environ.get("NUM_LAYERS", 4))
 
 
+# Also append each JSON line to this file (auditable artifact, e.g.
+# BENCH_SUITE_r03.json) — the driver only captures bench.py's stdout.
+OUT_PATH = os.environ.get("BENCH_SUITE_OUT", "")
+
+
 def _emit(payload):
-    print(json.dumps(payload), flush=True)
+    line = json.dumps(payload)
+    print(line, flush=True)
+    if OUT_PATH:
+        with open(OUT_PATH, "a") as f:
+            f.write(line + "\n")
 
 
 def _median(xs):

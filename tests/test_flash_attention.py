@@ -390,6 +390,51 @@ def test_flash_decode_split_matches_concat():
                                    atol=2e-5, rtol=2e-5)
 
 
+def test_decode_pipelined_body_matches_serial():
+    """VGT_DECODE_NSUB>1 (software-pipelined MXU/VPU decode body) matches
+    the serial body and the dense reference, resident + split kernels,
+    including an Lk where nsub must self-reduce to keep 128-alignment."""
+    import os
+
+    from video_gpt_tpu.models.video_gpt import decode_mask
+    from video_gpt_tpu.ops import flash_attention as fa
+    n = tokens_per_frame(32, 48)
+    layout = frame_block_inference_layout(3, 2, n, use_cfg=False)
+    meta = AttnMeta.from_layout(layout)
+    tail = layout.noisy_tail_len()
+    q_meta = meta.tail(tail)
+    b, l, h, d = layout.batch, layout.length, 4, 96
+    lc = l - tail
+    q, k, v = _rand_qkv(jax.random.PRNGKey(17), b, tail, l, h, h, d)
+    ref = mha_reference(q, k, v, attention_bias(q_meta, meta))
+    dm = decode_mask(q_meta, meta)
+    dp = d + (-d % 128)
+    pad = ((0, 0), (0, 0), (0, 0), (0, dp - d))
+    k_hm = jnp.pad(k.transpose(0, 2, 1, 3), pad)
+    v_hm = jnp.pad(v.transpose(0, 2, 1, 3), pad)
+    kc, kt = k_hm[:, :, :lc], k_hm[:, :, lc:]
+    vc, vt = v_hm[:, :, :lc], v_hm[:, :, lc:]
+    for nsub in ("2", "4", "7"):  # 7 never divides -> self-reduces
+        os.environ["VGT_DECODE_NSUB"] = nsub
+        os.environ["VGT_STREAM_NSUB"] = nsub
+        try:
+            out = fa.flash_mha_decode(q, k, v, dm, interpret=True)
+            np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                                       atol=2e-5, rtol=2e-5)
+            out = fa.flash_mha_decode_split(q, kc, vc, kt, vt, dm,
+                                            interpret=True)
+            np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                                       atol=2e-5, rtol=2e-5)
+            out = fa.flash_mha_decode_streaming_split(
+                q, kc, vc, kt, vt, dm, block_q=96, block_k=256,
+                interpret=True)
+            np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                                       atol=2e-5, rtol=2e-5)
+        finally:
+            del os.environ["VGT_DECODE_NSUB"]
+            del os.environ["VGT_STREAM_NSUB"]
+
+
 def test_attend_decode_split_dispatch_fallback():
     """attend_decode_split off-TPU (no interpret): concat fallback stays
     bit-consistent with attend over the concatenated operands."""

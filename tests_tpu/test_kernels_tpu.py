@@ -220,6 +220,55 @@ def test_split_decode_kernels_on_chip():
         assert err.max() < 3e-2, (n_clean, n_gen, err.max())
 
 
+def test_pipelined_decode_body_on_chip():
+    """VGT_DECODE_NSUB>1 (software-pipelined MXU/VPU body) COMPILED on real
+    mosaic — interpret mode cannot prove the subtile lane-slices lower."""
+    import os
+
+    from video_gpt_tpu.layout import frame_block_inference_layout
+    from video_gpt_tpu.models.video_gpt import decode_mask
+    from video_gpt_tpu.ops import flash_attention as fa
+
+    layout = frame_block_inference_layout(8, 16, N, use_cfg=False)
+    meta = AttnMeta.from_layout(layout)
+    tail = layout.noisy_tail_len()
+    q_meta = meta.tail(tail)
+    b, l, h, d = layout.batch, layout.length, 4, 96
+    lc = l - tail
+    rng = jax.random.split(jax.random.PRNGKey(23), 3)
+    q = jax.random.normal(rng[0], (b, tail, h, d), jnp.bfloat16)
+    k = jax.random.normal(rng[1], (b, l, h, d), jnp.bfloat16)
+    v = jax.random.normal(rng[2], (b, l, h, d), jnp.bfloat16)
+    dp = d + (-d % 128)
+    pad = ((0, 0), (0, 0), (0, 0), (0, dp - d))
+    k_hm = jnp.pad(k.transpose(0, 2, 1, 3), pad)
+    v_hm = jnp.pad(v.transpose(0, 2, 1, 3), pad)
+    dm = decode_mask(q_meta, meta)
+    want = jax.jit(functools.partial(
+        fa.flash_mha_decode, kv_heads_major=True))(q, k_hm, v_hm, dm)
+    os.environ["VGT_DECODE_NSUB"] = "4"
+    os.environ["VGT_STREAM_NSUB"] = "2"
+    try:
+        got = jax.jit(functools.partial(
+            fa.flash_mha_decode, kv_heads_major=True, block_q=512))(
+            q, k_hm, v_hm, dm)
+        got_split = jax.jit(functools.partial(
+            fa.flash_mha_decode_split, block_q=512))(
+            q, k_hm[:, :, :lc], v_hm[:, :, :lc],
+            k_hm[:, :, lc:], v_hm[:, :, lc:], dm)
+        got_stream = jax.jit(functools.partial(
+            fa.flash_mha_decode_streaming_split, block_q=512, block_k=512))(
+            q, k_hm[:, :, :lc], v_hm[:, :, :lc],
+            k_hm[:, :, lc:], v_hm[:, :, lc:], dm)
+    finally:
+        del os.environ["VGT_DECODE_NSUB"]
+        del os.environ["VGT_STREAM_NSUB"]
+    for got_ in (got, got_split, got_stream):
+        err = np.abs(np.asarray(got_, np.float32)
+                     - np.asarray(want, np.float32))
+        assert err.max() < 3e-2, err.max()
+
+
 def test_pallas_flash_inside_shard_map_on_chip():
     """The COMPILED (non-interpret) flash kernel lowered inside a
     ``jax.shard_map`` on real hardware — the composition every Ulysses SP

@@ -35,6 +35,7 @@ the resident cap with streaming fwd+bwd kernels.
 from __future__ import annotations
 
 import functools
+import os
 from typing import NamedTuple, Optional
 
 import jax
@@ -344,8 +345,64 @@ def _flash_bwd_rule(block_q, res, do):
 flash_mha_biased.defvjp(_flash_fwd_rule, _flash_bwd_rule)
 
 
+def _decode_pipe_nsub() -> int:
+    """Key-subtile count for the software-pipelined resident decode body
+    (env ``VGT_DECODE_NSUB``, default 1 = the serial body). Read at trace
+    time; >1 interleaves independent MXU/VPU chains (see
+    :func:`_pipelined_rank_attn`)."""
+    return max(int(os.environ.get("VGT_DECODE_NSUB", "1")), 1)
+
+
+def _subtile_chunks(k, v, rank1d, nsub):
+    """Split resident [Lkp, Dp] K/V (+ per-key rank [Lkp]) into ``nsub``
+    lane-aligned subtiles for the pipelined body. Falls back to fewer
+    subtiles until the boundary is a multiple of 128 (Mosaic lane rule)."""
+    lkp = k.shape[0]
+    while nsub > 1 and lkp % (nsub * 128):
+        nsub -= 1
+    bk = lkp // nsub
+    return [(k[j * bk:(j + 1) * bk], v[j * bk:(j + 1) * bk],
+             rank1d[j * bk:(j + 1) * bk][None, :]) for j in range(nsub)]
+
+
+def _pipelined_rank_attn(q, qoff, chunks, kscale):
+    """Software-pipelined unshifted-exp2 rank attention over key chunks.
+
+    The serial decode body runs QK^T (MXU) -> masked exp2 (VPU/EUP) -> PV
+    (MXU) as three dependent phases; with the key row split into chunks,
+    chunk j+1's QK dot is ISSUED BEFORE chunk j's exp2 pass, giving the
+    VLIW scheduler independent MXU and VPU chains to co-schedule — the
+    classic two-stage software pipeline. Math is bit-identical to the
+    serial body: without a max-shift, exp2 sums and PV accumulators are
+    plain f32 additions across chunks (same element order within a chunk,
+    left-to-right f32 adds across chunk partials).
+
+    ``chunks``: [(k [bk, Dp], v [bk, Dp], rank [1, bk]), ...].
+    Returns (l [bq, 1], acc [bq, Dp]) — the caller normalises."""
+    def score(c):
+        return jax.lax.dot_general(
+            q, c[0], (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32) * kscale
+
+    s_prev = score(chunks[0])
+    l = None
+    acc = None
+    for j in range(len(chunks)):
+        s_cur = score(chunks[j + 1]) if j + 1 < len(chunks) else None
+        _, v, rank = chunks[j]
+        p = jnp.where(qoff >= rank,
+                      jnp.exp2(jnp.clip(s_prev, -100.0, 100.0)), 0.0)
+        lj = jnp.sum(p, axis=-1, keepdims=True)
+        aj = jnp.dot(p.astype(v.dtype), v,
+                     preferred_element_type=jnp.float32)
+        l = lj if l is None else l + lj
+        acc = aj if acc is None else acc + aj
+        s_prev = s_cur
+    return l, acc
+
+
 def _decode_kernel(qoff_ref, rank_ref, q_ref, k_ref, v_ref, o_ref, *,
-                   kscale: float):
+                   kscale: float, nsub: int = 1):
     """Decode-step kernel: the frame-block mask collapses to a per-key rank
     (``visible(q,k) = q_off(q) >= rank(k)``, see :func:`decode_rank`) — one
     VPU compare per element and ZERO bias HBM traffic (the bias-mode kernel
@@ -374,13 +431,18 @@ def _decode_kernel(qoff_ref, rank_ref, q_ref, k_ref, v_ref, o_ref, *,
     q = q_ref[0, 0]                    # [bq, Dp]
     k = k_ref[0, 0]                    # [Lkp, Dp]
     v = v_ref[0, 0]
-    s = jax.lax.dot_general(
-        q, k, (((1,), (1,)), ((), ())),
-        preferred_element_type=jnp.float32) * kscale
     # qoff rides in the SUBLANE dim ([B, Lq, 1]) so its q-block only needs
     # 8-divisibility — the VMEM-pressure block sizes (96) aren't multiples
     # of 128, which a lane-dim block spec would require
     qoff = qoff_ref[0]                 # [bq, 1] int32
+    if nsub > 1:
+        l, acc = _pipelined_rank_attn(
+            q, qoff, _subtile_chunks(k, v, rank_ref[0, 0], nsub), kscale)
+        o_ref[0, 0] = (acc / jnp.maximum(l, 1e-30)).astype(o_ref.dtype)
+        return
+    s = jax.lax.dot_general(
+        q, k, (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32) * kscale
     rank = rank_ref[0, 0][None, :]     # [1, Lkp] int32
     p = jnp.where(qoff >= rank,
                   jnp.exp2(jnp.clip(s, -100.0, 100.0)), 0.0)
@@ -441,7 +503,8 @@ def flash_mha_decode(q, k, v, mask: DecodeMask,
 
     grid = (b, h, lqp // block_q)
     out = pl.pallas_call(
-        functools.partial(_decode_kernel, kscale=kscale),
+        functools.partial(_decode_kernel, kscale=kscale,
+                          nsub=_decode_pipe_nsub()),
         grid=grid,
         in_specs=[
             pl.BlockSpec((1, block_q, 1), lambda bi, hi, qi: (bi, qi, 0),
@@ -585,16 +648,29 @@ def flash_mha_decode_streaming(q, k, v, mask: DecodeMask,
 
 def _decode_split_kernel(qoff_ref, rankc_ref, rankt_ref, q_ref,
                          kc_ref, vc_ref, kt_ref, vt_ref, o_ref, *,
-                         kscale: float):
+                         kscale: float, nsub: int = 1):
     """:func:`_decode_kernel` with SEPARATE cache/tail key operands.
 
     The denoise scan's per-layer ``concat([cache, new_kv])`` costs a full
     cache copy per layer per step (~8ms/step at flagship shapes, and 2x the
     cache's HBM working set); feeding the kernel both operands directly
     makes the step zero-copy — the unshifted-exp2 softmax sums and the
-    output accumulator simply add across the two score tiles."""
+    output accumulator simply add across the two score tiles.
+
+    ``nsub``>1 subtiles each operand and runs the software-pipelined body
+    (:func:`_pipelined_rank_attn`) over the cache chunks then tail chunks;
+    the cache/tail boundary is already a chunk boundary, so the math stays
+    bit-identical."""
     q = q_ref[0, 0]                    # [bq, Dp]
     qoff = qoff_ref[0]                 # [bq, 1] int32 (sublane layout)
+    if nsub > 1:
+        chunks = (_subtile_chunks(kc_ref[0, 0], vc_ref[0, 0],
+                                  rankc_ref[0, 0], nsub)
+                  + _subtile_chunks(kt_ref[0, 0], vt_ref[0, 0],
+                                    rankt_ref[0, 0], nsub))
+        l, acc = _pipelined_rank_attn(q, qoff, chunks, kscale)
+        o_ref[0, 0] = (acc / jnp.maximum(l, 1e-30)).astype(o_ref.dtype)
+        return
     sc = jax.lax.dot_general(
         q, kc_ref[0, 0], (((1,), (1,)), ((), ())),
         preferred_element_type=jnp.float32) * kscale
@@ -666,7 +742,8 @@ def flash_mha_decode_split(q, k_cache, v_cache, k_new, v_new,
 
     grid = (b, h, lqp // bq)
     out = pl.pallas_call(
-        functools.partial(_decode_split_kernel, kscale=kscale),
+        functools.partial(_decode_split_kernel, kscale=kscale,
+                          nsub=_decode_pipe_nsub()),
         grid=grid,
         in_specs=[
             pl.BlockSpec((1, bq, 1), lambda bi, hi, qi: (bi, qi, 0),
@@ -707,7 +784,8 @@ def flash_mha_decode_split(q, k_cache, v_cache, k_new, v_new,
 
 def _stream_decode_split_kernel(qoff_ref, rankc_ref, rankt_ref, q_ref,
                                 kc_ref, vc_ref, kt_ref, vt_ref, o_ref,
-                                l_scr, acc_scr, *, kscale: float, nkc: int):
+                                l_scr, acc_scr, *, kscale: float, nkc: int,
+                                nsub: int = 1):
     """:func:`_stream_decode_kernel` with separate cache/tail operands: the
     k-grid runs over cache tiles then tail tiles; each iteration SELECTS the
     active tile pair with a VPU ``where`` (both tiles sit in VMEM; the
@@ -721,21 +799,30 @@ def _stream_decode_split_kernel(qoff_ref, rankc_ref, rankt_ref, q_ref,
         l_scr[:] = jnp.zeros_like(l_scr)
         acc_scr[:] = jnp.zeros_like(acc_scr)
 
-    in_cache = ki < nkc
-    k = jnp.where(in_cache, kc_ref[0, 0], kt_ref[0, 0])
-    v = jnp.where(in_cache, vc_ref[0, 0], vt_ref[0, 0])
-    rank = jnp.where(in_cache, rankc_ref[0, 0], rankt_ref[0, 0])[None, :]
     q = q_ref[0, 0]
-    s = jax.lax.dot_general(
-        q, k, (((1,), (1,)), ((), ())),
-        preferred_element_type=jnp.float32) * kscale
     qoff = qoff_ref[0]
-    p = jnp.where(qoff >= rank,
-                  jnp.exp2(jnp.clip(s, -100.0, 100.0)), 0.0)
-    l_scr[:] = l_scr[:] + jnp.broadcast_to(
-        jnp.sum(p, axis=-1, keepdims=True), l_scr.shape)
-    acc_scr[:] = acc_scr[:] + jnp.dot(p.astype(v.dtype), v,
-                                      preferred_element_type=jnp.float32)
+
+    def accumulate(k_ref2, v_ref2, rank_ref2):
+        # optional in-tile software pipeline (VGT_STREAM_NSUB>1): chunk
+        # j+1's QK dot issued before chunk j's exp2 — independent MXU/VPU
+        # chains for the scheduler; bit-identical accumulation
+        l, acc = _pipelined_rank_attn(
+            q, qoff,
+            _subtile_chunks(k_ref2[0, 0], v_ref2[0, 0], rank_ref2[0, 0],
+                            nsub), kscale)
+        l_scr[:] = l_scr[:] + jnp.broadcast_to(l, l_scr.shape)
+        acc_scr[:] = acc_scr[:] + acc
+
+    # the cache/tail predicate is grid-static: branch with pl.when instead
+    # of jnp.where so the inactive operand costs nothing (the old
+    # whole-tile selects were three extra VPU passes per iteration)
+    @pl.when(ki < nkc)
+    def _():
+        accumulate(kc_ref, vc_ref, rankc_ref)
+
+    @pl.when(ki >= nkc)
+    def _():
+        accumulate(kt_ref, vt_ref, rankt_ref)
 
     @pl.when(ki == nk - 1)
     def _():
@@ -779,7 +866,9 @@ def flash_mha_decode_streaming_split(q, k_cache, v_cache, k_new, v_new,
         return jnp.maximum(ki - nkc, 0)
     out = pl.pallas_call(
         functools.partial(_stream_decode_split_kernel, kscale=kscale,
-                          nkc=nkc),
+                          nkc=nkc,
+                          nsub=max(int(os.environ.get(
+                              "VGT_STREAM_NSUB", "1")), 1)),
         grid=grid,
         in_specs=[
             pl.BlockSpec((1, bq, 1), lambda bi, hi, qi, ki: (bi, qi, 0),

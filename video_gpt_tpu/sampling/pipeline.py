@@ -252,6 +252,19 @@ class VideoGPTPipeline:
         clean_latents = [clean_latents[i] for i in range(len(pixels))]
 
         outputs: List = []
+        # one-behind emit queue: each block's decoded frames (device
+        # arrays) are converted to host PIL images only AFTER the next
+        # block's work has been dispatched, so the d2h + host postprocess
+        # overlap device compute instead of stalling the dispatch thread
+        pending_emits: List = []
+
+        def _drain_emits():
+            while pending_emits:
+                x = pending_emits.pop(0)
+                x = (np.asarray(x) if x.dtype == jnp.uint8
+                     else np.asarray(x, np.float32))
+                outputs.extend(postprocess_frames(x))
+
         out_latents: List = []
         emit_initial = True
         # cross-block KV cache: (device cache, frames covered); reusable
@@ -316,13 +329,15 @@ class VideoGPTPipeline:
                                   columnar, cached=prefix > 0,
                                   cfg_interval=cfg_interval)
             samples = fn(self.params, batch_c, batch_u, kv_cache, z)
+            # previous block's frames: dispatched before this block's
+            # denoise, converted after — the host PIL work rides under it
+            _drain_emits()
 
             if emit_initial:
                 # emit the VAE round-trip of the conditioning frames
                 if n_clean:
-                    init_u8 = self._decode_u8(self.vae_params, jnp.stack(
-                        clean_latents))
-                    outputs.extend(postprocess_frames(np.asarray(init_u8)))
+                    pending_emits.append(self._decode_u8(
+                        self.vae_params, jnp.stack(clean_latents)))
                 emit_initial = False
 
             recycled = samples
@@ -331,18 +346,18 @@ class VideoGPTPipeline:
                 # (LVM/pipeline.py:491-498); the extend/prefill of the next
                 # block reads clean_latents, so the KV cache stays consistent
                 out_px = self._decode(self.vae_params, samples)
-                outputs.extend(postprocess_frames(np.asarray(out_px,
-                                                             np.float32)))
+                pending_emits.append(out_px)
                 rng, rrng = jax.random.split(rng)
                 recycled = self._encode(self.vae_params,
                                         out_px.astype(dtype), rrng)
             else:
-                out_u8 = self._decode_u8(self.vae_params, samples)
-                outputs.extend(postprocess_frames(np.asarray(out_u8)))
+                pending_emits.append(self._decode_u8(self.vae_params,
+                                                     samples))
             for i in range(gen_num):
                 out_latents.append(samples[i])
                 clean_latents.append(recycled[i])
 
+        _drain_emits()
         if return_latents:
             return outputs, out_latents
         return outputs
