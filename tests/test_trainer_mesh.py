@@ -47,6 +47,39 @@ def test_trainer_mesh_steps_with_zero_sharding(tmp_path, data, seq):
         jax.tree.leaves(state.params)[0].sum()))
 
 
+def test_trainer_zero3_param_sharding(tmp_path):
+    """MeshConfig.zero_params (ZeRO-3): params AND optimizer state sharded
+    over 'data' at rest; the step still runs and stays finite (GSPMD
+    inserts the per-use all-gathers)."""
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 CPU devices")
+    cfg = TrainConfig(frame_num=4, frame_block_scheme="frame_block",
+                      mixed_precision="no", lr=1e-3, lr_scheduler="constant",
+                      log_every=1, ckpt_every=1000, use_ema=True,
+                      results_dir=str(tmp_path))
+    t = Trainer(ModelConfig.tiny(attn_impl="reference",
+                                 pos_embed_max_size=192),
+                cfg, "/root/reference/vids", vae_cfg=VAEConfig.tiny(),
+                target_resolution=(48, 64),
+                mesh_cfg=MeshConfig(data=2, seq=4, zero_params=True))
+    state = t.run(2)
+    assert int(state.step) == 2
+
+    def frac_sharded(tree):
+        leaves = [x for x in jax.tree.leaves(tree)
+                  if hasattr(x, "sharding") and hasattr(x.sharding, "spec")]
+        hits = [DATA_AXIS in jax.tree.leaves(tuple(x.sharding.spec))
+                for x in leaves]
+        return sum(hits), len(hits)
+
+    np_, nt = frac_sharded(state.params)
+    assert np_ > 0, "no param leaf sharded over 'data' under zero_params"
+    ne, _ = frac_sharded(state.ema_params)
+    assert ne > 0, "no EMA leaf sharded over 'data' under zero_params"
+    loss_leaf = jax.tree.leaves(state.params)[0]
+    assert np.isfinite(float(loss_leaf.sum()))
+
+
 def test_trainer_cli_mesh_smoke(tmp_path):
     """`cli train --mesh_data 2 --mesh_seq 4` takes steps on the CPU mesh."""
     if len(jax.devices()) < 8:

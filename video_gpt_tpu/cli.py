@@ -84,7 +84,8 @@ def cmd_train(args):
     mesh_cfg = None
     if args.mesh_data * args.mesh_seq > 1:
         from .config import MeshConfig
-        mesh_cfg = MeshConfig(data=args.mesh_data, seq=args.mesh_seq)
+        mesh_cfg = MeshConfig(data=args.mesh_data, seq=args.mesh_seq,
+                              zero_params=args.zero3)
     trainer = Trainer(
         _model_cfg(args), cfg, args.video_dir_path,
         vae_cfg=vae_cfg, vae_params=vae_params, init_params=init_params,
@@ -414,7 +415,8 @@ def cmd_train_image(args):
     mesh_cfg = None
     if args.mesh_data * args.mesh_seq > 1:
         from .config import MeshConfig
-        mesh_cfg = MeshConfig(data=args.mesh_data, seq=args.mesh_seq)
+        mesh_cfg = MeshConfig(data=args.mesh_data, seq=args.mesh_seq,
+                              zero_params=args.zero3)
     trainer = ImageGenTrainer(
         _model_cfg(args), cfg, args.json_file, args.image_root, tokenizer,
         output_size=(args.height, args.width),
@@ -480,6 +482,11 @@ def build_parser() -> argparse.ArgumentParser:
     t.add_argument("--target_resolution", type=int, nargs=2,
                    default=[176, 320])
     t.add_argument("--report_to", default="tensorboard")
+    t.add_argument("--zero3", action="store_true",
+                   help="ZeRO-3: shard params/EMA over the data axis at "
+                        "rest (GSPMD inserts the per-use all-gathers), the "
+                        "TPU form of the reference's DeepSpeed stage-3 "
+                        "configs")
     t.add_argument("--mesh_data", type=int, default=1,
                    help="data-parallel mesh axis (batch rows + ZeRO "
                         "optimizer-state sharding)")
@@ -592,6 +599,8 @@ def build_parser() -> argparse.ArgumentParser:
     ti.add_argument("--use_ema", action="store_true")
     ti.add_argument("--no_auto_resume", action="store_true")
     ti.add_argument("--vae_ckpt", type=str, default=None)
+    ti.add_argument("--zero3", action="store_true",
+                    help="ZeRO-3: shard params/EMA over the data axis")
     ti.add_argument("--mesh_data", type=int, default=1,
                     help="data-parallel mesh axis (batch rows + ZeRO)")
     ti.add_argument("--mesh_seq", type=int, default=1,

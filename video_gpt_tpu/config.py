@@ -93,10 +93,16 @@ class SchedulerConfig:
 
 @dataclasses.dataclass(frozen=True)
 class MeshConfig:
-    """Device mesh: data-parallel × sequence-parallel axes."""
+    """Device mesh: data-parallel × sequence-parallel axes.
+
+    ``zero_params``: ZeRO-3-style parameter sharding — params and EMA are
+    sharded over ``data`` at rest (like the optimizer state) and XLA's SPMD
+    partitioner inserts the per-use all-gathers, the GSPMD analogue of the
+    reference's DeepSpeed stage-3 configs (stage3_offload_bf16_dp.json)."""
 
     data: int = 1
     seq: int = 1
+    zero_params: bool = False
 
     @property
     def num_devices(self) -> int:

@@ -65,17 +65,30 @@ def batch_sharding(mesh: Mesh) -> NamedSharding:
     return NamedSharding(mesh, P(DATA_AXIS, SEQ_AXIS))
 
 
-def place_train_state(state, mesh: Mesh):
+def place_train_state(state, mesh: Mesh, zero_params: bool = False):
     """device_put a TrainState in ONE pass with its final shardings
     (params/EMA replicated, optimizer state ZeRO-sharded over 'data').
     A replicate-then-reshard two-step would transiently materialise the
     full optimizer state on every device — an OOM in exactly the regime
-    ZeRO exists for."""
+    ZeRO exists for.
+
+    ``zero_params`` (ZeRO-3, MeshConfig.zero_params): params and EMA are
+    ALSO sharded over 'data' at rest; the SPMD partitioner inserts the
+    per-use all-gathers inside the step, trading a layer's gather traffic
+    for holding only 1/data of every weight — the GSPMD form of the
+    reference's DeepSpeed stage-3 partitioning
+    (LVM/acceleration/config/stage3_offload_bf16_dp.json)."""
     repl = replicated(mesh)
     shardings = jax.tree.map(lambda _: repl, state,
                              is_leaf=lambda x: hasattr(x, "shape"))
     shardings = shardings._replace(
         opt_state=zero_sharding(state.opt_state, mesh))
+    if zero_params:
+        shardings = shardings._replace(
+            params=zero_sharding(state.params, mesh))
+        if state.ema_params is not None:
+            shardings = shardings._replace(
+                ema_params=zero_sharding(state.ema_params, mesh))
     return jax.device_put(state, shardings)
 
 

@@ -57,11 +57,13 @@ class ImageGenTrainer:
         self.mesh = None
         self._dp = 1
         self._sp = 1
+        self._zero_params = False
         if mesh_cfg is not None and mesh_cfg.num_devices > 1:
             from ..parallel.mesh import make_mesh
             self.mesh = make_mesh(mesh_cfg)
             self._dp = mesh_cfg.data
             self._sp = mesh_cfg.seq
+            self._zero_params = mesh_cfg.zero_params
         overrides = {}
         if self._sp > 1:
             overrides["seq_shard"] = True
@@ -117,7 +119,8 @@ class ImageGenTrainer:
         if self.mesh is None:
             return state
         from ..parallel.mesh import place_train_state
-        return place_train_state(state, self.mesh)
+        return place_train_state(state, self.mesh,
+                                 zero_params=self._zero_params)
 
     def _shard_batch(self, tb: ImageGenTrainBatch) -> ImageGenTrainBatch:
         """[B, L] token arrays over (data, seq); image rows over data."""

@@ -56,11 +56,13 @@ class Trainer:
         self.mesh = None
         self._sp = 1
         self._dp = 1
+        self._zero_params = False
         if mesh_cfg is not None and mesh_cfg.num_devices > 1:
             from ..parallel.mesh import make_mesh
             self.mesh = make_mesh(mesh_cfg)
             self._sp = mesh_cfg.seq
             self._dp = mesh_cfg.data
+            self._zero_params = mesh_cfg.zero_params
         overrides = {}
         if self._sp > 1:
             overrides["seq_shard"] = True
@@ -124,11 +126,13 @@ class Trainer:
                        sp_multiple=self._sp)
 
     def _place_state(self, state: TrainState) -> TrainState:
-        """Params replicated; optimizer state ZeRO-sharded over 'data'."""
+        """Optimizer state ZeRO-sharded over 'data'; params replicated, or
+        also data-sharded under MeshConfig.zero_params (ZeRO-3)."""
         if self.mesh is None:
             return state
         from ..parallel.mesh import place_train_state
-        return place_train_state(state, self.mesh)
+        return place_train_state(state, self.mesh,
+                                 zero_params=self._zero_params)
 
     def _shard_batch(self, tb: TrainBatch) -> TrainBatch:
         """[B, L] token arrays over (data, seq); pixel rows over data."""
