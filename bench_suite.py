@@ -418,7 +418,9 @@ def bench_lora_stage4():
     state = TrainState(step=jnp.zeros((), jnp.int32), params=lora,
                        opt_state=make_optimizer(tcfg).init(lora),
                        ema_params=None)
-    inner = make_lora_train_step(model, base, tcfg, max_blocks=frame_num)
+    # base rides as a jit ARGUMENT: a closed-over base becomes a 7.6G
+    # compile-time constant (HBM duplicate + remote-compile 413)
+    inner = make_lora_train_step(model, tcfg, max_blocks=frame_num)
 
     # latents synthesized directly (full VAE + full model + opt would be
     # the only piece that pushes past HBM; the VAE leg is measured in the
@@ -431,12 +433,13 @@ def bench_lora_stage4():
 
     from video_gpt_tpu.utils.profiling import force_ready
     step = jax.jit(inner, donate_argnums=(0,))
-    state, m = step(state, jax.random.PRNGKey(0), inputs)
+    state, m = step(state, base, jax.random.PRNGKey(0), inputs)
     force_ready(m["loss"])
     times = []
     for i in range(3):
         t0 = time.perf_counter()
-        state, m = step(state, jax.random.fold_in(jax.random.PRNGKey(1), i),
+        state, m = step(state, base,
+                        jax.random.fold_in(jax.random.PRNGKey(1), i),
                         inputs)
         jax.block_until_ready(m["loss"])
         times.append(time.perf_counter() - t0)

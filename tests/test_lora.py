@@ -87,13 +87,12 @@ def test_lora_training_updates_only_adapters():
     lora = init_lora(params["params"], rank=4, rng=jax.random.PRNGKey(1))
     cfg = TrainConfig(lr=1e-3, lr_scheduler="constant")
     rank_model = VideoGPT(replace(CFG, lora_rank=4), dtype=jnp.float32)
-    step = jax.jit(make_lora_train_step(rank_model, params, cfg,
-                                        max_blocks=3))
+    step = jax.jit(make_lora_train_step(rank_model, cfg, max_blocks=3))
     state = TrainState(step=jnp.zeros((), jnp.int32), params=lora,
                        opt_state=make_optimizer(cfg).init(lora))
     losses = []
     for _ in range(6):
-        state, m = step(state, jax.random.PRNGKey(7), inputs)
+        state, m = step(state, params, jax.random.PRNGKey(7), inputs)
         losses.append(float(m["loss"]))
     assert losses[-1] < losses[0], losses
     # adapters moved

@@ -47,6 +47,32 @@ def test_trainer_mesh_steps_with_zero_sharding(tmp_path, data, seq):
         jax.tree.leaves(state.params)[0].sum()))
 
 
+def test_trainer_lora_on_mesh(tmp_path):
+    """LoRA fine-tune under a (data, seq) mesh: the frozen base rides as a
+    jit ARGUMENT (not a baked-in constant) and is itself mesh-placed —
+    data-sharded here (ZeRO-3), replicated otherwise."""
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 CPU devices")
+    cfg = TrainConfig(frame_num=4, frame_block_scheme="frame_block",
+                      use_lora=True, lora_rank=2, mixed_precision="no",
+                      lr=1e-3, lr_scheduler="constant", log_every=1,
+                      ckpt_every=1000, results_dir=str(tmp_path))
+    t = Trainer(ModelConfig.tiny(attn_impl="reference",
+                                 pos_embed_max_size=192),
+                cfg, "/root/reference/vids", vae_cfg=VAEConfig.tiny(),
+                target_resolution=(48, 64),
+                mesh_cfg=MeshConfig(data=2, seq=4, zero_params=True))
+    state = t.run(2)
+    assert int(state.step) == 2
+    assert "lora_a" in str(jax.tree_util.tree_structure(state.params))
+    assert np.isfinite(float(jax.tree.leaves(state.params)[0].sum()))
+    # the frozen base was placed with a data-axis sharding (ZeRO-3)
+    base_leaves = [x for x in jax.tree.leaves(t._base_params)
+                   if hasattr(x, "sharding") and hasattr(x.sharding, "spec")]
+    assert any(DATA_AXIS in jax.tree.leaves(tuple(x.sharding.spec))
+               for x in base_leaves), "base params not ZeRO-3 sharded"
+
+
 def test_trainer_zero3_param_sharding(tmp_path):
     """MeshConfig.zero_params (ZeRO-3): params AND optimizer state sharded
     over 'data' at rest; the step still runs and stays finite (GSPMD

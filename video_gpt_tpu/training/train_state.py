@@ -71,7 +71,7 @@ def ema_update(ema, params, decay: float):
                         * (1.0 - decay), ema, params)
 
 
-def make_lora_train_step(model: VideoGPT, base_params, cfg: TrainConfig,
+def make_lora_train_step(model: VideoGPT, cfg: TrainConfig,
                          max_blocks: int) -> Callable:
     """Train step where ``state.params`` is a LoRA adapter tree and the base
     weights stay frozen (reference peft path, train_x1_stage1:204-223).
@@ -80,16 +80,25 @@ def make_lora_train_step(model: VideoGPT, base_params, cfg: TrainConfig,
     grafted into the tree and act in-model (phi3.LoraDense), so the only
     gradients that ever materialise are the adapter stacks ([layers, *, r])
     — an externally merged kernel would give the scan backward stacked f32
-    kernel cotangents (~4.5G at 3.8B) before contracting them to dA/dB."""
+    kernel cotangents (~4.5G at 3.8B) before contracting them to dA/dB.
+
+    The frozen base weights are an explicit argument of the returned
+    ``step(state, base_params, rng, inputs)`` — NOT a closure. A closed-over
+    tree is baked into the jaxpr as a compile-time constant, which at 3.8B
+    both duplicates the ~7.6G bf16 base in HBM and pushes the lowered
+    program past the remote-compile request-size limit."""
     from .lora import graft_lora
 
     if model.cfg.lora_rank <= 0:
         raise ValueError("make_lora_train_step needs a model built with "
                          "ModelConfig.lora_rank > 0 (in-model adapters)")
     tx = make_optimizer(cfg)
-    inner = base_params["params"] if "params" in base_params else base_params
 
-    def step(state: TrainState, rng: jax.Array, inputs: LossInputs):
+    def step(state: TrainState, base_params, rng: jax.Array,
+             inputs: LossInputs):
+        inner = (base_params["params"] if "params" in base_params
+                 else base_params)
+
         def loss_fn(lora):
             merged = {"params": graft_lora(inner, lora)}
             return training_loss(

@@ -188,14 +188,32 @@ class Trainer:
                 opt_state=make_optimizer(self.cfg).init(lora),
                 ema_params=(jax.tree.map(jnp.copy, lora)
                             if self.cfg.use_ema else None))
-            inner = make_lora_train_step(self.model, self._init_params,
-                                         self.cfg, max_blocks)
+            lora_step = make_lora_train_step(self.model, self.cfg,
+                                             max_blocks)
+            # the frozen base rides as a jit ARGUMENT (a closure would bake
+            # the ~7.6G base into the program as a constant at 3.8B scale)
+            self._base_params = self._init_params
+            if self.mesh is not None:
+                # place on the mesh like the trainable params: replicated,
+                # or data-sharded at rest under ZeRO-3
+                from ..parallel.mesh import replicated, zero_sharding
+                sh = (zero_sharding(self._base_params, self.mesh)
+                      if self._zero_params else jax.tree.map(
+                          lambda _: replicated(self.mesh),
+                          self._base_params,
+                          is_leaf=lambda x: hasattr(x, "shape")))
+                self._base_params = jax.device_put(self._base_params, sh)
+            inner = (lambda state, base, r, inputs:
+                     lora_step(state, base, r, inputs))
         else:
             state = init_train_state(self.model, self._init_params, self.cfg)
-            inner = make_train_step(self.model, self.cfg, max_blocks)
+            raw_step = make_train_step(self.model, self.cfg, max_blocks)
+            self._base_params = None
+            inner = lambda state, base, r, inputs: raw_step(state, r, inputs)
         vae = self.vae
 
-        def full_step(state: TrainState, vae_params, rng, tb: TrainBatch):
+        def full_step(state: TrainState, base_params, vae_params, rng,
+                      tb: TrainBatch):
             r_enc, r_loss = jax.random.split(rng)
             latents = vae.apply(vae_params, tb.pixels, r_enc,
                                 method=AutoencoderKL.encode)
@@ -203,7 +221,7 @@ class Trainer:
             inputs = tb.inputs._replace(
                 x1=jnp.take(latents, tb.noisy_sel, axis=0),
                 clean_latents=jnp.take(latents, tb.clean_sel, axis=0))
-            return inner(state, r_loss, inputs)
+            return inner(state, base_params, r_loss, inputs)
 
         self._jit_step = jax.jit(full_step, donate_argnums=(0,))
         return self._place_state(state)
@@ -280,7 +298,8 @@ class Trainer:
             # per-step key derived from the global step: resumed runs
             # continue the noise stream instead of replaying it
             r = jax.random.fold_in(self.rng, step_idx)
-            state, metrics = self._jit_step(state, self._vae_params, r, tb)
+            state, metrics = self._jit_step(state, self._base_params,
+                                            self._vae_params, r, tb)
             # keep the device array: float() here would sync every step and
             # stall async dispatch
             running.append(metrics["loss"])
