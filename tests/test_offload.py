@@ -147,3 +147,57 @@ def test_offload_rejects_multisteps():
     tcfg = TrainConfig(gradient_accumulation_steps=2)
     with pytest.raises(ValueError):
         make_offload_train_step(model, tcfg, max_blocks=3)
+
+
+def test_trainer_offload_runs_and_resumes(tmp_path):
+    """cfg.offload_optimizer through the real Trainer loop: steps advance,
+    loss is finite, the checkpoint round-trips (OffloadState's chunk
+    tuples restore through orbax), and the resumed run continues from the
+    saved step."""
+    from video_gpt_tpu.models.vae import VAEConfig
+    from video_gpt_tpu.training.trainer import Trainer
+
+    def make():
+        cfg = TrainConfig(frame_num=4, frame_block_scheme="frame_block",
+                          mixed_precision="no", lr=1e-3,
+                          lr_scheduler="constant", log_every=1,
+                          ckpt_every=2, offload_optimizer=True,
+                          offload_grad_splits=2,
+                          results_dir=str(tmp_path))
+        return Trainer(ModelConfig.tiny(attn_impl="reference",
+                                        pos_embed_max_size=192),
+                       cfg, "/root/reference/vids",
+                       vae_cfg=VAEConfig.tiny(),
+                       target_resolution=(48, 64))
+
+    state = make().run(2)
+    assert int(state.step) == 2
+    assert isinstance(state.opt_state, OffloadState)
+    assert int(state.opt_state.count) == 2
+    assert np.isfinite(float(jax.tree.leaves(state.params)[0].sum()))
+
+    # auto-resume picks up checkpoint-2 and walks one more step
+    state2 = make().run(3)
+    assert int(state2.step) == 3
+    assert int(state2.opt_state.count) == 3
+
+
+def test_trainer_offload_rejects_ema_and_lora(tmp_path):
+    from video_gpt_tpu.models.vae import VAEConfig
+    from video_gpt_tpu.training.trainer import Trainer
+
+    def t(**kw):
+        cfg = TrainConfig(frame_num=4, frame_block_scheme="frame_block",
+                          mixed_precision="no", offload_optimizer=True,
+                          results_dir=str(tmp_path), log_every=1,
+                          ckpt_every=1000, **kw)
+        return Trainer(ModelConfig.tiny(attn_impl="reference",
+                                        pos_embed_max_size=192),
+                       cfg, "/root/reference/vids",
+                       vae_cfg=VAEConfig.tiny(),
+                       target_resolution=(48, 64))
+
+    with pytest.raises(ValueError):
+        t(use_ema=True).run(1)
+    with pytest.raises(ValueError):
+        t(use_lora=True).run(1)

@@ -48,6 +48,8 @@ def cmd_train(args):
         sp_attention=args.sp_attention,
         cls_weight=args.cls_weight,
         input_output_return=args.input_output_return,
+        offload_optimizer=args.offload_optimizer,
+        offload_grad_splits=args.offload_grad_splits,
     )
     vae_cfg = VAEConfig.tiny() if args.tiny_model else VAEConfig()
     vae_params = None
@@ -462,6 +464,15 @@ def build_parser() -> argparse.ArgumentParser:
     t.add_argument("--use_ema", action="store_true")
     t.add_argument("--use_lora", action="store_true")
     t.add_argument("--lora_rank", type=int, default=8)
+    t.add_argument("--offload_optimizer", action="store_true",
+                   help="host-offloaded AdamW: f32 master/mu/nu in "
+                        "pinned_host, update as host compute — full-depth "
+                        "3.8B training on ONE chip (the reference's "
+                        "ZeRO-offload analogue)")
+    t.add_argument("--offload_grad_splits", type=int, default=1,
+                   help="backward passes per step (2 halves the live grad "
+                        "accumulators in HBM for one forward recompute; "
+                        "needed at 3.8B scale on a 16G chip)")
     t.add_argument("--cls_weight", type=float, default=None)
     t.add_argument("--input_output_return", action="store_true")
     t.add_argument("--input_noise", type=float, default=0.9)

@@ -145,6 +145,14 @@ class TrainConfig:
     ema_decay: float = 0.9999
     use_lora: bool = False
     lora_rank: int = 8
+    # host-offloaded AdamW (training/offload.py): f32 master/mu/nu in
+    # pinned_host memory, update math as host compute — the single-chip
+    # full-depth path, the TPU analogue of the reference's ZeRO-offload
+    # (LVM/acceleration/config/stage3_offload_bf16_dp.json:10-19).
+    # offload_grad_splits=2 halves the live grad-accumulator HBM for one
+    # forward recompute (needed at 3.8B scale on a 16G chip).
+    offload_optimizer: bool = False
+    offload_grad_splits: int = 1
     # run control
     epochs: int = 1400
     log_every: int = 100

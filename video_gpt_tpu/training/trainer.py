@@ -176,6 +176,8 @@ class Trainer:
                 jax.random.PRNGKey(3), tb.inputs.batch, z,
                 jnp.zeros((nn_,)), cl)
         max_blocks = self.cfg.frame_num
+        if self.cfg.offload_optimizer:
+            return self._build_offload(max_blocks)
         if self.cfg.use_lora:
             # adapter-only fine-tuning: frozen base, LoRA tree in the state
             # (reference peft path, train_x1_stage1:204-223)
@@ -225,6 +227,63 @@ class Trainer:
 
         self._jit_step = jax.jit(full_step, donate_argnums=(0,))
         return self._place_state(state)
+
+    def _build_offload(self, max_blocks: int) -> TrainState:
+        """Host-offloaded AdamW (cfg.offload_optimizer): the single-chip
+        full-depth path. bf16 params + transient grads in HBM; f32
+        master/mu/nu in pinned_host; update math as host compute
+        (training/offload.py — the TPU analogue of the reference's
+        DeepSpeed ZeRO-offload, stage3_offload_bf16_dp.json:10-19).
+
+        The step is an EAGER orchestrator of several jitted programs, so
+        ``self._jit_step`` here is a plain callable with the same
+        signature as the jitted path — the loop does not care."""
+        if self.mesh is not None:
+            raise ValueError("offload_optimizer is the single-chip "
+                             "full-depth path; use ZeRO over the mesh "
+                             "(--mesh_data/--zero3) instead")
+        if self.cfg.use_lora:
+            raise ValueError("offload_optimizer is for full-parameter "
+                             "training; LoRA state fits HBM directly")
+        if self.cfg.use_ema:
+            raise ValueError("offload_optimizer does not support EMA "
+                             "(neither does the reference's offload recipe)")
+        from .offload import init_offload_state, make_offload_train_step
+
+        if self.cfg.mixed_precision == "bf16":
+            # cast leaf-by-leaf under jit: a whole-tree f32->bf16 cast
+            # would transiently hold both trees (22.8G at 3.8B) in HBM
+            cast = jax.jit(lambda x: x.astype(jnp.bfloat16))
+            self._init_params = jax.tree.map(
+                lambda x: cast(x) if jnp.issubdtype(x.dtype, jnp.floating)
+                else x, self._init_params)
+        ostate = init_offload_state(self._init_params)
+        off_step = make_offload_train_step(
+            self.model, self.cfg, max_blocks,
+            grad_splits=self.cfg.offload_grad_splits)
+        vae = self.vae
+        enc = jax.jit(lambda vp, pixels, r: jax.lax.stop_gradient(
+            vae.apply(vp, pixels, r, method=AutoencoderKL.encode)))
+        self._base_params = None
+
+        def full_step(state: TrainState, base_params, vae_params, rng,
+                      tb: TrainBatch):
+            r_enc, r_loss = jax.random.split(rng)
+            latents = enc(vae_params, tb.pixels, r_enc)
+            inputs = tb.inputs._replace(
+                x1=jnp.take(latents, tb.noisy_sel, axis=0),
+                clean_latents=jnp.take(latents, tb.clean_sel, axis=0))
+            # consumes state.params and state.opt_state buffers (mu/nu/
+            # master donated in place; stale bf16 params freed mid-step)
+            params, new_ostate, metrics = off_step(
+                state.params, state.opt_state, r_loss, inputs)
+            return TrainState(state.step + 1, params, new_ostate,
+                              None), metrics
+
+        self._jit_step = full_step
+        return TrainState(step=jnp.zeros((), jnp.int32),
+                          params=self._init_params, opt_state=ostate,
+                          ema_params=None)
 
     # ---- loop --------------------------------------------------------------
 
