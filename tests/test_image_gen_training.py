@@ -129,3 +129,28 @@ def test_image_gen_trainer_mesh(json_dataset, tmp_path):
             sharded.append(DATA_AXIS in jax.tree.leaves(
                 tuple(leaf.sharding.spec)))
     assert any(sharded), "no optimizer-state leaf sharded over 'data'"
+
+
+def test_image_gen_trainer_offload(json_dataset, tmp_path):
+    """cfg.offload_optimizer through ImageGenTrainer (same contract as the
+    video Trainer): steps advance, finite params, OffloadState count."""
+    jf, root = json_dataset
+    from video_gpt_tpu.training.image_trainer import ImageGenTrainer
+    from video_gpt_tpu.training.offload import OffloadState
+    mcfg = ModelConfig.tiny(attn_impl="reference", pos_embed_max_size=8)
+    tcfg = TrainConfig(mixed_precision="no", gradient_checkpointing=False,
+                       batch_size_per_device=2, log_every=1, ckpt_every=100,
+                       lr=1e-3, lr_warmup_steps=1, auto_resume=False,
+                       offload_optimizer=True, offload_grad_splits=2,
+                       results_dir=str(tmp_path / "results_off"))
+    trainer = ImageGenTrainer(
+        mcfg, tcfg, jf, root, StubTokenizer(),
+        output_size=(32, 32), input_size=(32, 32),
+        condition_dropout_prob=0.5, max_input_images=1, pad_to=192,
+        vae_cfg=VAEConfig.tiny(), seed=3)
+    state = trainer.run(max_steps=2)
+    assert int(state.step) == 2
+    assert isinstance(state.opt_state, OffloadState)
+    assert int(state.opt_state.count) == 2
+    assert all(np.isfinite(np.asarray(jax.device_get(x))).all()
+               for x in jax.tree.leaves(state.params))

@@ -383,6 +383,8 @@ def cmd_train_image(args):
         use_ema=args.use_ema,
         auto_resume=not args.no_auto_resume,
         max_input_length_limit=args.max_input_length_limit,
+        offload_optimizer=args.offload_optimizer,
+        offload_grad_splits=args.offload_grad_splits,
     )
     vae_cfg = VAEConfig.tiny() if args.tiny_model else VAEConfig()
     vae_params = None
@@ -608,6 +610,9 @@ def build_parser() -> argparse.ArgumentParser:
     ti.add_argument("--mixed_precision", default="bf16",
                     choices=["bf16", "no"])
     ti.add_argument("--use_ema", action="store_true")
+    ti.add_argument("--offload_optimizer", action="store_true",
+                    help="host-offloaded AdamW (see `train`)")
+    ti.add_argument("--offload_grad_splits", type=int, default=1)
     ti.add_argument("--no_auto_resume", action="store_true")
     ti.add_argument("--vae_ckpt", type=str, default=None)
     ti.add_argument("--zero3", action="store_true",

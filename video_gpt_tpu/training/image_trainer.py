@@ -169,22 +169,61 @@ class ImageGenTrainer:
             self._init_params = self.model.init(
                 jax.random.PRNGKey(3), tb.inputs.batch, z,
                 jnp.zeros((b,)), cl)
-        state = init_train_state(self.model, self._init_params, self.cfg)
-        # image gen: ONE output image per row -> one block per row;
-        # velocity target (OmniGen/train_helper/loss.py:40-45)
-        inner = make_train_step(self.model, self.cfg, max_blocks=1,
-                                prediction_target="velocity")
         vae = self.vae
 
-        def full_step(state: TrainState, vae_params, rng, tb):
+        def encode_pair(vae_params, tb, rng):
             r_out, r_in, r_loss = jax.random.split(rng, 3)
             x1 = vae.apply(vae_params, tb.out_pixels, r_out,
                            method=AutoencoderKL.encode)
             clean = vae.apply(vae_params, tb.in_pixels, r_in,
                               method=AutoencoderKL.encode)
-            inputs = tb.inputs._replace(
+            return tb.inputs._replace(
                 x1=jax.lax.stop_gradient(x1),
-                clean_latents=jax.lax.stop_gradient(clean))
+                clean_latents=jax.lax.stop_gradient(clean)), r_loss
+
+        if self.cfg.offload_optimizer:
+            # host-offloaded AdamW (training/offload.py), same contract as
+            # Trainer._build_offload: eager orchestrator behind the jitted
+            # step's call signature; image gen = 1 block/row, velocity
+            # target (OmniGen/train_helper/loss.py:40-45)
+            if self.mesh is not None:
+                raise ValueError("offload_optimizer is the single-chip "
+                                 "full-depth path; it does not compose "
+                                 "with a mesh")
+            if self.cfg.use_ema:
+                raise ValueError("offload_optimizer does not support EMA")
+            from .offload import init_offload_state, make_offload_train_step
+            if self.cfg.mixed_precision == "bf16":
+                cast = jax.jit(lambda x: x.astype(jnp.bfloat16))
+                self._init_params = jax.tree.map(
+                    lambda x: cast(x)
+                    if jnp.issubdtype(x.dtype, jnp.floating) else x,
+                    self._init_params)
+            ostate = init_offload_state(self._init_params)
+            off_step = make_offload_train_step(
+                self.model, self.cfg, max_blocks=1,
+                prediction_target="velocity",
+                grad_splits=self.cfg.offload_grad_splits)
+            enc = jax.jit(encode_pair)
+
+            def off_full_step(state: TrainState, vae_params, rng, tb):
+                inputs, r_loss = enc(vae_params, tb, rng)
+                params, new_ostate, metrics = off_step(
+                    state.params, state.opt_state, r_loss, inputs)
+                return TrainState(state.step + 1, params, new_ostate,
+                                  None), metrics
+
+            self._jit_step = off_full_step
+            return TrainState(step=jnp.zeros((), jnp.int32),
+                              params=self._init_params, opt_state=ostate,
+                              ema_params=None)
+
+        state = init_train_state(self.model, self._init_params, self.cfg)
+        inner = make_train_step(self.model, self.cfg, max_blocks=1,
+                                prediction_target="velocity")
+
+        def full_step(state: TrainState, vae_params, rng, tb):
+            inputs, r_loss = encode_pair(vae_params, tb, rng)
             return inner(state, r_loss, inputs)
 
         self._jit_step = jax.jit(full_step, donate_argnums=(0,))
