@@ -218,9 +218,12 @@ def test_streaming_inline_matches_reference():
         fa.INTERPRET = False
 
 
-def test_streaming_backward_kernels_match_dense_grads():
+@pytest.mark.parametrize("h,hkv", [(2, 2), (4, 2)])
+def test_streaming_backward_kernels_match_dense_grads(h, hkv):
     """Streaming Pallas backward (dq + dk/dv kernels, metadata-inline mask,
-    multi-tile accumulation) == dense-attention gradients."""
+    multi-tile accumulation) == dense-attention gradients. (4, 2) pins the
+    GQA path: dK/dV's innermost grid dim walks the q-head group,
+    accumulating the cross-head sum into per-kv-head blocks."""
     import video_gpt_tpu.ops.flash_attention as fa
 
     n = tokens_per_frame(32, 48)
@@ -228,7 +231,7 @@ def test_streaming_backward_kernels_match_dense_grads():
                            RowSpec((1, 1, 2), "training")], n)
     meta = AttnMeta.from_layout(layout)
     b, l = layout.batch, layout.length
-    q, k, v = _rand_qkv(jax.random.PRNGKey(5), b, l, l, 2, 2, 32)
+    q, k, v = _rand_qkv(jax.random.PRNGKey(5), b, l, l, h, hkv, 32)
     do = jax.random.normal(jax.random.PRNGKey(6), q.shape, jnp.float32)
 
     dense_bias = attention_bias(meta, meta)

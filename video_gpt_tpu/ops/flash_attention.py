@@ -1239,8 +1239,11 @@ def _stream_dkv_kernel(q_idx_ref, q_blk_ref, q_off_ref, q_pad_ref,
                        q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref,
                        dk_ref, dv_ref, *, scale: float, lk_real: int,
                        block_k: int):
-    """dK/dV: grid (B, H, k-blocks, q-blocks), q innermost; transposed
-    scores [bk, bq] so dk/dv accumulate in revisited f32 out blocks."""
+    """dK/dV: grid (B, H_kv, k-blocks, group*q-blocks), the innermost dim
+    walking every (q-head-in-group, q-block) pair; transposed scores
+    [bk, bq] so dk/dv accumulate in revisited f32 out blocks — the
+    cross-head accumulation GQA needs falls out of the same
+    revisited-block pattern (MHA is the group=1 special case)."""
     qi = pl.program_id(3)
 
     @pl.when(qi == 0)
@@ -1276,23 +1279,7 @@ def _stream_inline_bwd_impl(q, k, v, o, lse, do, q_meta, k_meta,
                             block_q: int = 512, block_k: int = 512):
     (b, lq, h, d, lk, hkv, dp, bq, lqp, bk, lkp) = _stream_geometry(
         q, k, block_q, block_k)
-    if h != hkv:
-        # GQA would need cross-head accumulation in dkv; the flagship model
-        # is MHA (Phi-3 32/32) — recompute through the chunked path instead.
-        # That path materialises a dense [B, 1, Lq, Lk] f32 bias: a silent
-        # memory cliff at stage-4 lengths, hence the loud trace-time warning
-        import warnings
-        warnings.warn(
-            "streaming flash backward fell back to the dense-bias chunked "
-            f"path for GQA (heads {h} != kv_heads {hkv}): this allocates an "
-            f"O(Lq*Lk) f32 bias ({4 * q.shape[1] * k.shape[1] / 1e9:.2f} GB "
-            "per batch row) — prohibitive at stage-4 lengths. Use MHA or "
-            "add cross-head dkv accumulation.", stacklevel=3)
-        from .attention import attention_bias, mha_chunked
-        dense = attention_bias(q_meta, k_meta, jnp.float32)
-        _, pullback = jax.vjp(
-            lambda q, k, v: mha_chunked(q, k, v, dense), q, k, v)
-        return pullback(do.astype(q.dtype))
+    group = h // hkv
     scale = d ** -0.5
     qt, kt, vt, meta_in = _stream_pad_inputs(q, k, v, q_meta, k_meta,
                                              lqp, lkp, dp)
@@ -1330,9 +1317,12 @@ def _stream_inline_bwd_impl(q, k, v, o, lse, do, q_meta, k_meta,
                             memory_space=pltpu.VMEM)
 
     def kblk4(axis_k):
+        # K/V are per KV-HEAD: the dQ grid's head dim is a q-head, so the
+        # block picks the kv head at hi // group (MHA: group == 1)
         return pl.BlockSpec((1, 1, bk, dp),
                             lambda bi, hi, i, j, axis_k=axis_k:
-                            (bi, hi, i if axis_k == 2 else j, 0),
+                            (bi, hi // group,
+                             i if axis_k == 2 else j, 0),
                             memory_space=pltpu.VMEM)
 
     # dQ: q-blocks outer, k-blocks inner
@@ -1347,16 +1337,47 @@ def _stream_inline_bwd_impl(q, k, v, o, lse, do, q_meta, k_meta,
         interpret=INTERPRET,
     )(*meta_in, qt, kt, vt, dot_, lse, delta)
 
-    # dK/dV: k-blocks outer, q-blocks inner
+    # dK/dV: grid (B, H_kv, k-blocks, group * q-blocks) — the innermost
+    # dim walks every (q-head-in-group, q-block) pair, accumulating the
+    # GQA cross-head sum into the revisited per-kv-head f32 out blocks.
+    # j // nq selects the q-head within the group; j % nq the q-block.
+    nq = lqp // bq
+
+    def qmeta_g():
+        return pl.BlockSpec((1, 1, bq),
+                            lambda bi, hi, i, j: (bi, 0, j % nq),
+                            memory_space=pltpu.VMEM)
+
+    def kmeta_g():
+        return pl.BlockSpec((1, 1, bk), lambda bi, hi, i, j: (bi, 0, i),
+                            memory_space=pltpu.VMEM)
+
+    def qblk_g():
+        return pl.BlockSpec((1, 1, bq, dp),
+                            lambda bi, hi, i, j:
+                            (bi, hi * group + j // nq, j % nq, 0),
+                            memory_space=pltpu.VMEM)
+
+    def qrow_g():
+        return pl.BlockSpec((1, 1, bq),
+                            lambda bi, hi, i, j, h=h:
+                            (bi * h + hi * group + j // nq, 0, j % nq),
+                            memory_space=pltpu.VMEM)
+
+    def kblk_g():
+        return pl.BlockSpec((1, 1, bk, dp),
+                            lambda bi, hi, i, j: (bi, hi, i, 0),
+                            memory_space=pltpu.VMEM)
+
     dk, dv = pl.pallas_call(
         functools.partial(_stream_dkv_kernel, scale=scale, lk_real=lk,
                           block_k=bk),
-        grid=(b, h, lkp // bk, lqp // bq),
-        in_specs=[qmeta4(3)] * 4 + [kmeta4(2)] * 3
-        + [qblk4(3), kblk4(2), kblk4(2), qblk4(3), qrow4(3), qrow4(3)],
-        out_specs=(kblk4(2), kblk4(2)),
-        out_shape=(jax.ShapeDtypeStruct((b, h, lkp, dp), jnp.float32),
-                   jax.ShapeDtypeStruct((b, h, lkp, dp), jnp.float32)),
+        grid=(b, hkv, lkp // bk, group * nq),
+        in_specs=[qmeta_g()] * 4 + [kmeta_g()] * 3
+        + [qblk_g(), kblk_g(), kblk_g(), qblk_g(), qrow_g(), qrow_g()],
+        out_specs=(kblk_g(), kblk_g()),
+        out_shape=(jax.ShapeDtypeStruct((b, hkv, lkp, dp), jnp.float32),
+                   jax.ShapeDtypeStruct((b, hkv, lkp, dp), jnp.float32)),
         interpret=INTERPRET,
     )(*meta_in, qt, kt, vt, dot_, lse, delta)
 
