@@ -124,37 +124,48 @@ def _read_frames(path, count, stride=4):
 
 def bench_batched_inference():
     """Every vids/*.mp4 through the full pipeline (processor + VAE + sampler
-    throughput, BASELINE.json config 2)."""
+    throughput, BASELINE.json config 2). Videos whose preprocessed shapes
+    match ride ONE B=N program set (pipeline.generate_batch) — the
+    reference can only loop one video at a time (inference driver:79-104);
+    odd-shaped videos run individually."""
+    from video_gpt_tpu.data.processor import preprocess_frames
     from video_gpt_tpu.data.video import list_videos
     pipe = _full_pipeline()
     videos = sorted(list_videos(VIDS))
     assert videos, VIDS
     n_gen = 16
 
-    def run(path):
-        frames = _read_frames(path, 8)
-        t0 = time.perf_counter()
-        out = pipe.generate(frames, gen_nums=[n_gen],
-                            num_inference_steps=STEPS,
-                            img_guidance_scale=1.5,
-                            max_input_image_size=W, seed=0,
-                            cfg_interval=CFG_INTERVAL)
-        return time.perf_counter() - t0, len(out)
+    frames = {p: _read_frames(p, 8) for p in videos}
+    groups: dict = {}
+    for p in videos:
+        shape = preprocess_frames(frames[p], W).shape
+        groups.setdefault(shape, []).append(p)
+    kw = dict(gen_nums=[n_gen], num_inference_steps=STEPS,
+              img_guidance_scale=1.5, max_input_image_size=W,
+              cfg_interval=CFG_INTERVAL)
 
-    for path in videos:  # warm every per-signature jit (aspect ratios vary)
-        run(path)
+    def run(paths):
+        t0 = time.perf_counter()
+        outs = pipe.generate_batch([frames[p] for p in paths],
+                                   seeds=list(range(len(paths))), **kw)
+        return time.perf_counter() - t0, sum(len(o) for o in outs)
+
+    for paths in groups.values():  # warm every per-signature jit
+        run(paths)
     times = []
-    for path in videos:
-        dt, _ = run(path)
+    for paths in groups.values():
+        dt, _ = run(paths)
         times.append(dt)
     total = sum(times)
     _emit({
         "metric": f"batched inference over {len(videos)} videos "
                   f"(full pipeline incl. video read + VAE + PIL, "
-                  f"16-frame clips, {STEPS} steps, CFG)",
+                  f"16-frame clips, {STEPS} steps, CFG, same-bucket "
+                  "videos row-batched)",
         "value": round(len(videos) * n_gen / total, 3),
         "unit": "frames/s/chip",
-        "per_video_s": [round(t, 3) for t in times],
+        "per_group_s": [round(t, 3) for t in times],
+        "group_sizes": [len(g) for g in groups.values()],
     })
 
 

@@ -108,3 +108,42 @@ def test_no_cfg_and_latents(pipe):
     # latent geometry matches the (aspect-preserving) output frames
     w, h = out[-1].size
     assert lat[0].shape == (h // 8, w // 8, 4)
+
+
+def test_generate_batch_matches_independent_calls(pipe):
+    """generate_batch: N same-shaped videos ride one B=N program set with
+    per-video PRNG streams — outputs match N independent generate() calls
+    (the reference can only loop one video at a time)."""
+    frames_a = _frames(2)
+    # a second "video": the same clip shifted, so rows genuinely differ
+    frames_b = [np.roll(f, 7, axis=1) for f in frames_a]
+    # perturb the zero-init head so conditions influence outputs
+    leaves, treedef = jax.tree.flatten(pipe.params)
+    rngs = jax.random.split(jax.random.PRNGKey(9), len(leaves))
+    leaves = [l + 0.02 * jax.random.normal(r, l.shape, l.dtype)
+              for l, r in zip(leaves, rngs)]
+    p = VideoGPTPipeline(model=pipe.model,
+                         params=jax.tree.unflatten(treedef, leaves),
+                         vae=pipe.vae, vae_params=pipe.vae_params)
+    kw = dict(gen_nums=[1, 1], num_inference_steps=2,
+              img_guidance_scale=1.5, max_input_image_size=48,
+              max_frame_window=4, clean_image_noise_level=0.1)
+    want_a = p.generate(frames_a, seed=21, **kw)
+    want_b = p.generate(frames_b, seed=22, **kw)
+    got = p.generate_batch([frames_a, frames_b], seeds=[21, 22], **kw)
+    assert len(got) == 2
+    for got_i, want_i in zip(got, (want_a, want_b)):
+        assert len(got_i) == len(want_i)
+        for a, b in zip(got_i, want_i):
+            # identical math per row; batched matmul reduction order may
+            # differ by an ulp, which can flip a rounded uint8 pixel
+            np.testing.assert_allclose(np.asarray(a, np.int32),
+                                       np.asarray(b, np.int32), atol=1)
+
+
+def test_generate_batch_rejects_mixed_shapes(pipe):
+    frames_a = _frames(2)
+    small = [f[:100] for f in frames_a]
+    with pytest.raises(ValueError):
+        pipe.generate_batch([frames_a, small], gen_nums=[1],
+                            num_inference_steps=1, max_input_image_size=48)

@@ -324,13 +324,21 @@ def build_layout(
 def frame_block_inference_layout(
     n_clean: int, n_gen: int, n_img: int, use_cfg: bool,
     pad_to_multiple: int = 1, pad_to: Optional[int] = None,
-    token_ids: TokenIds = DEFAULT_TOKEN_IDS,
+    token_ids: TokenIds = DEFAULT_TOKEN_IDS, rows: int = 1,
 ) -> SequenceLayout:
     """CFG pair for autoregressive next-clip prediction: conditional row
     ``[n_clean, n_gen]`` + unconditional row ``[0, n_gen]``
-    (LVM/processor.py:366-421, LVM/pipeline.py:426-448)."""
+    (LVM/processor.py:366-421, LVM/pipeline.py:426-448).
+
+    ``rows > 1`` replicates the row for BATCHED serving (N same-shaped
+    videos through one B=N program set — pipeline.generate_batch); the
+    CFG pair is handled by separate layouts there, so ``use_cfg`` must be
+    False."""
+    if rows > 1 and use_cfg:
+        raise ValueError("rows > 1 batches same-role rows; build the "
+                         "uncond layout separately (separate-CFG)")
     blocks = (n_clean, n_gen) if n_clean > 0 else (n_gen,)
-    specs = [RowSpec(blocks, "inference")]
+    specs = [RowSpec(blocks, "inference")] * rows
     if use_cfg:
         specs.append(RowSpec((0, n_gen), "inference"))
     return build_layout(specs, n_img, pad_to_multiple, pad_to, token_ids)

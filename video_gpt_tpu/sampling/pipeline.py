@@ -19,7 +19,7 @@ from __future__ import annotations
 
 import dataclasses
 import functools
-from typing import List, Optional, Sequence, Tuple
+from typing import Any, List, Optional, Sequence, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -360,4 +360,205 @@ class VideoGPTPipeline:
         _drain_emits()
         if return_latents:
             return outputs, out_latents
+        return outputs
+
+    def generate_batch(self, inputs_list: Sequence[Sequence],
+                       seeds: Optional[Sequence[int]] = None, **kwargs):
+        """N same-shaped condition clips through ONE B=N program set.
+
+        The reference serves strictly one video at a time (a Python loop
+        over pipe calls, LVM inference driver:79-104); here N videos whose
+        preprocessed shapes match ride as batch rows of the SAME prefill/
+        extend/denoise programs — weights traffic, kernel dispatch, and
+        per-step fixed costs amortise across rows. Every video keeps its
+        OWN PRNG stream (``seeds[i]``, default ``seed+i``), walking exactly
+        the chain :meth:`generate` walks, so outputs match N independent
+        calls up to batched-matmul reduction order
+        (tests/test_pipeline_e2e.py pins this).
+
+        Returns a list of N per-video frame lists (ordering per
+        :meth:`generate`); with ``return_latents=True``, a list of
+        (frames, latents) pairs."""
+        if self.mesh is not None:
+            with jax.sharding.set_mesh(self.mesh):
+                return self._generate_batch(inputs_list, seeds, **kwargs)
+        return self._generate_batch(inputs_list, seeds, **kwargs)
+
+    def _generate_batch(
+        self, inputs_list, seeds=None,
+        gen_nums: Sequence[int] = (1,),
+        num_inference_steps: int = 50,
+        img_guidance_scale: float = 1.0,
+        use_img_guidance: bool = True,
+        max_input_image_size: int = 320,
+        max_frame_window: int = 16,
+        clean_image_noise_level: float = 0.1,
+        time_shifting_factor: float = 1.0,
+        prediction_type: str = "x1",
+        seed: Optional[int] = 42,
+        return_latents: bool = False,
+        vae_roundtrip_recycle: bool = False,
+        cfg_interval: Optional[Tuple[float, float]] = None,
+    ):
+        n_vid = len(inputs_list)
+        if n_vid == 1 and seeds is None:
+            out = self._generate(
+                inputs_list[0], gen_nums, num_inference_steps,
+                img_guidance_scale, use_img_guidance, max_input_image_size,
+                max_frame_window, clean_image_noise_level,
+                time_shifting_factor, prediction_type, seed, return_latents,
+                vae_roundtrip_recycle, cfg_interval)
+            return [out]
+        if img_guidance_scale == 1.0:
+            use_img_guidance = False
+        base = 0 if seed is None else seed
+        if seeds is None:
+            seeds = [base + i for i in range(n_vid)]
+        assert len(seeds) == n_vid
+        dtype = self.model.dtype
+
+        pix = [preprocess_frames(f, max_input_image_size)
+               for f in inputs_list]
+        shapes = {p.shape for p in pix}
+        if len(shapes) != 1:
+            raise ValueError(
+                f"generate_batch needs same-shaped videos after "
+                f"preprocessing; got {sorted(shapes)} — group by bucket "
+                "and batch each group")
+        H, W = pix[0].shape[1:3]
+        f = self.vae.cfg.downsample_factor
+        p_ = self.model.cfg.patch_size
+        hl, wl = H // f, W // f
+        n_img = (hl // p_) * (wl // p_)
+        c = self.model.cfg.in_channels
+
+        # one PRNG chain per video — the exact chain _generate walks
+        rngs = [jax.random.PRNGKey(s) for s in seeds]
+
+        def chain(i, n=2):
+            nonlocal rngs
+            out = jax.random.split(rngs[i], n)
+            rngs[i] = out[0]
+            return out[1:]
+
+        clean: List[List] = []
+        for i in range(n_vid):
+            (erng,) = chain(i)
+            enc = self._encode(self.vae_params, jnp.asarray(pix[i], dtype),
+                               erng)
+            clean.append([enc[j] for j in range(len(pix[i]))])
+
+        outputs: List[List] = [[] for _ in range(n_vid)]
+        out_latents: List[List] = [[] for _ in range(n_vid)]
+        pending: List[Tuple[Any, int]] = []  # (device frames [N*F], F)
+
+        def _drain():
+            while pending:
+                x, per = pending.pop(0)
+                x = (np.asarray(x) if x.dtype == jnp.uint8
+                     else np.asarray(x, np.float32))
+                for i in range(n_vid):
+                    outputs[i].extend(
+                        postprocess_frames(x[i * per:(i + 1) * per]))
+
+        emit_initial = True
+        kv_cache = None
+        kv_frames = 0
+        for k, gen_num in enumerate(gen_nums):
+            if len(clean[0]) + gen_num > max_frame_window:
+                drop = gen_num + len(clean[0]) - max_frame_window
+                clean = [cl[drop:] for cl in clean]
+                kv_cache, kv_frames = None, 0
+            if k > 0 and clean_image_noise_level:
+                kv_cache, kv_frames = None, 0
+            n_clean = len(clean[0])
+            layout_c = frame_block_inference_layout(
+                n_clean, gen_num, n_img, use_cfg=False, rows=n_vid)
+            batch_c = Batch.from_layout(layout_c)
+            tail = layout_c.noisy_tail_len()
+            prefix = layout_c.length - tail
+            batch_u = None
+            layout_u = None
+            if use_img_guidance:
+                layout_u = frame_block_inference_layout(
+                    0, gen_num, n_img, use_cfg=False, rows=n_vid)
+                batch_u = Batch.from_layout(layout_u)
+
+            cls_ = []
+            for i in range(n_vid):
+                cl = (jnp.stack(clean[i]) if n_clean
+                      else jnp.zeros((0, hl, wl, c), dtype))
+                if k > 0 and clean_image_noise_level:
+                    (nrng,) = chain(i)
+                    lvl = clean_image_noise_level
+                    cl = (1.0 - lvl) * cl + lvl * jax.random.normal(
+                        nrng, cl.shape, cl.dtype)
+                cls_.append(cl)
+            cl_all = jnp.concatenate(cls_, axis=0)
+
+            zs = []
+            for i in range(n_vid):
+                (zrng,) = chain(i)
+                zs.append(jax.random.normal(zrng, (gen_num, hl, wl, c),
+                                            dtype))
+            z = jnp.concatenate(zs, axis=0)
+
+            from ..layout import decode_rank
+            columnar = decode_rank(layout_c, tail) is not None and (
+                not use_img_guidance
+                or decode_rank(layout_u, layout_u.length) is not None)
+            if prefix > 0:
+                n_new = n_clean - kv_frames
+                if kv_cache is not None and 0 < n_new < n_clean:
+                    seg = n_img + 2
+                    new_lat = jnp.concatenate(
+                        [cls_[i][-n_new:] for i in range(n_vid)], axis=0)
+                    kv_cache = self._extend_fn(
+                        kv_frames * seg, n_new * seg, kv_frames)(
+                        self.params, batch_c, new_lat, kv_cache)
+                elif kv_cache is None or n_new != 0:
+                    kv_cache = self._prefill_fn(prefix)(
+                        self.params, batch_c, cl_all)
+                kv_frames = n_clean
+            else:
+                kv_cache, kv_frames = None, 0
+            fn = self._denoise_fn(tail, num_inference_steps,
+                                  time_shifting_factor, prediction_type,
+                                  use_img_guidance, img_guidance_scale,
+                                  columnar, cached=prefix > 0,
+                                  cfg_interval=cfg_interval)
+            samples = fn(self.params, batch_c, batch_u, kv_cache, z)
+            _drain()
+
+            if emit_initial:
+                if n_clean:
+                    pending.append((self._decode_u8(
+                        self.vae_params,
+                        jnp.concatenate([jnp.stack(cl) for cl in clean],
+                                        axis=0)), n_clean))
+                emit_initial = False
+
+            recycled = samples
+            if vae_roundtrip_recycle:
+                out_px = self._decode(self.vae_params, samples)
+                pending.append((out_px, gen_num))
+                rec = []
+                for i in range(n_vid):
+                    (rrng,) = chain(i)
+                    rec.append(self._encode(
+                        self.vae_params,
+                        out_px[i * gen_num:(i + 1) * gen_num].astype(dtype),
+                        rrng))
+                recycled = jnp.concatenate(rec, axis=0)
+            else:
+                pending.append((self._decode_u8(self.vae_params, samples),
+                                gen_num))
+            for i in range(n_vid):
+                for j in range(gen_num):
+                    out_latents[i].append(samples[i * gen_num + j])
+                    clean[i].append(recycled[i * gen_num + j])
+
+        _drain()
+        if return_latents:
+            return [(outputs[i], out_latents[i]) for i in range(n_vid)]
         return outputs
