@@ -178,3 +178,26 @@ def test_checkpoint_export_roundtrip(tmp_path):
     sd = load_file(str(out))
     back = {"params": videogpt_params_from_torch(sd, cfg)}
     assert max_tree_diff(params, back) == 0.0
+
+
+def test_cli_generate_video_dir_batches_same_bucket(tmp_path):
+    """`generate --video_path_dir`: same-bucket videos ride one B=N
+    program set (pipeline.generate_batch); odd buckets run alone. The
+    sample dir has two 1280x720 videos and one 466x360, so this drives
+    BOTH the batched and the single-row paths."""
+    from video_gpt_tpu.cli import build_parser
+
+    out_dir = tmp_path / "frames"
+    args = build_parser().parse_args([
+        "generate", "--video_path_dir", "/root/reference/vids",
+        "--save_dir", str(out_dir),
+        "--clean_image_num", "2", "--gen_nums", "1",
+        "--num_inference_steps", "1", "--max_input_image_size", "48",
+        "--tiny_model", "--dtype", "fp32", "--seed", "5"])
+    args.func(args)
+    import os
+    names = sorted(os.listdir(out_dir))
+    # 3 videos x (2 roundtripped conditions + 1 generated) = 9 frames,
+    # prefixed by the videos' directory order
+    assert sum(n.endswith(".png") for n in names) == 9
+    assert {n.split("_")[0] for n in names} == {"0", "1", "2"}

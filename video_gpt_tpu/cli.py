@@ -253,26 +253,45 @@ def cmd_generate(args):
     pipe = VideoGPTPipeline(model=model, params=params, vae=vae,
                             vae_params=vae_params, mesh=mesh)
     os.makedirs(args.save_dir, exist_ok=True)
-    for k, path in enumerate(video_paths):
-        frames = read_conditioning(path) if k > 0 else frames
-        images = pipe.generate(
-            frames,
-            gen_nums=args.gen_nums,
-            num_inference_steps=args.num_inference_steps,
-            img_guidance_scale=args.img_guidance_scale,
-            max_input_image_size=args.max_input_image_size,
-            max_frame_window=args.max_frame_window,
-            clean_image_noise_level=args.clean_image_noise_level,
-            prediction_type=args.prediction_type,
-            seed=args.seed,
-            vae_roundtrip_recycle=args.vae_roundtrip_recycle,
-            cfg_interval=(tuple(args.cfg_interval)
-                          if args.cfg_interval else None),
-        )
+    kw = dict(
+        gen_nums=args.gen_nums,
+        num_inference_steps=args.num_inference_steps,
+        img_guidance_scale=args.img_guidance_scale,
+        max_input_image_size=args.max_input_image_size,
+        max_frame_window=args.max_frame_window,
+        clean_image_noise_level=args.clean_image_noise_level,
+        prediction_type=args.prediction_type,
+        vae_roundtrip_recycle=args.vae_roundtrip_recycle,
+        cfg_interval=(tuple(args.cfg_interval)
+                      if args.cfg_interval else None),
+    )
+
+    def save(k, path, images):
         for i, im in enumerate(images):
             im.save(os.path.join(args.save_dir, f"{k}_{i}.png"))
         print(f"[{k}] {path}: saved {len(images)} frames to {args.save_dir}",
               flush=True)
+
+    if len(video_paths) > 1:
+        # same-bucket videos ride ONE B=N program set
+        # (pipeline.generate_batch); the reference loops one at a time
+        all_frames = {video_paths[0]: frames}
+        groups: dict = {}
+        for path in video_paths:
+            fr = all_frames.setdefault(path, None) or read_conditioning(path)
+            all_frames[path] = fr
+            shape = preprocess_frames(fr, args.max_input_image_size).shape
+            groups.setdefault(shape, []).append(path)
+        order = {p: k for k, p in enumerate(video_paths)}
+        for paths in groups.values():
+            outs = pipe.generate_batch(
+                [all_frames[p] for p in paths],
+                seeds=[args.seed + order[p] for p in paths], **kw)
+            for p, images in zip(paths, outs):
+                save(order[p], p, images)
+    else:
+        images = pipe.generate(frames, seed=args.seed, **kw)
+        save(0, video_paths[0], images)
 
 
 def cmd_generate_image(args):
