@@ -97,3 +97,14 @@ def test_image_gen_pipeline_smoke():
     out2 = pipe("a dog", input_images=None, height=64, width=64,
                 num_inference_steps=2, guidance_scale=2.5, seed=0)
     assert len(out2) == 1 and out2[0].size == (64, 64)
+
+    # prompt-LIST parity (OmniGen/pipeline.py:138): per-prompt separate-CFG
+    # evaluation, outputs concatenated in prompt order; element i matches a
+    # single call with seed base+i
+    outs = pipe(["a dog", "a bird"], input_images=None, height=64, width=64,
+                num_inference_steps=2, guidance_scale=2.5, seed=0)
+    assert len(outs) == 2
+    assert np.array_equal(np.asarray(outs[0]), np.asarray(out2[0]))
+    solo1 = pipe("a bird", input_images=None, height=64, width=64,
+                 num_inference_steps=2, guidance_scale=2.5, seed=1)
+    assert np.array_equal(np.asarray(outs[1]), np.asarray(solo1[0]))

@@ -264,7 +264,7 @@ class ImageGenPipeline:
 
     def __call__(
         self,
-        prompt: str,
+        prompt,
         input_images: Optional[Sequence] = None,
         height: int = 1024,
         width: int = 1024,
@@ -279,6 +279,22 @@ class ImageGenPipeline:
         time_shifting_factor: float = 1.0,
         seed: Optional[int] = None,
     ):
+        if not isinstance(prompt, str):
+            # prompt LIST parity (OmniGen/pipeline.py:138,205-206): under
+            # the reference's default separate_cfg_infer=True each prompt's
+            # CFG rows run separately; outputs concatenate in prompt order.
+            # Per-prompt keys derive from the base seed, like a loop of
+            # single calls with seed, seed+1, ...
+            base = 0 if seed is None else seed
+            out: List = []
+            for i, p_ in enumerate(prompt):
+                out.extend(self(
+                    p_, input_images, height, width, num_inference_steps,
+                    guidance_scale, use_img_guidance, img_guidance_scale,
+                    max_input_image_size, negative_prompt,
+                    use_input_image_size_as_output, prediction_type,
+                    time_shifting_factor, base + i))
+            return out
         proc = self.processor
         proc.max_image_size = max_input_image_size
         if not input_images:
