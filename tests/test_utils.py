@@ -201,3 +201,45 @@ def test_cli_generate_video_dir_batches_same_bucket(tmp_path):
     # prefixed by the videos' directory order
     assert sum(n.endswith(".png") for n in names) == 9
     assert {n.split("_")[0] for n in names} == {"0", "1", "2"}
+
+
+def test_cli_lora_train_then_merged_inference(tmp_path):
+    """`train --use_lora` -> `generate --lora_checkpoint_dir`: the adapter
+    tree restores from the LoRA run's orbax checkpoint and merges into the
+    base weights at load (reference merge_lora, LVM/pipeline.py:97-101)."""
+    import os
+    from video_gpt_tpu.cli import build_parser
+
+    results = tmp_path / "lora_run"
+    args = build_parser().parse_args([
+        "train", "--video_dir_path", "/root/reference/vids",
+        "--results_dir", str(results), "--max_steps", "2",
+        "--frame_num", "2", "--ckpt_every", "2", "--log_every", "1",
+        "--mixed_precision", "no", "--tiny_model", "--use_lora",
+        "--lora_rank", "2", "--target_resolution", "48", "64",
+        "--report_to", "none"])
+    args.func(args)
+    ckpt_dir = results / "checkpoints"
+    assert (ckpt_dir / "2").exists()
+
+    # base weights: a plain (non-LoRA) checkpoint from a second tiny run
+    base = tmp_path / "base_run"
+    args = build_parser().parse_args([
+        "train", "--video_dir_path", "/root/reference/vids",
+        "--results_dir", str(base), "--max_steps", "1",
+        "--frame_num", "2", "--ckpt_every", "1", "--log_every", "1",
+        "--mixed_precision", "no", "--tiny_model",
+        "--target_resolution", "48", "64", "--report_to", "none"])
+    args.func(args)
+
+    out_dir = tmp_path / "frames"
+    args = build_parser().parse_args([
+        "generate", "--video_path", "/root/reference/vids/plane.mp4",
+        "--checkpoint_dir", str(base / "checkpoints"),
+        "--lora_checkpoint_dir", str(ckpt_dir), "--lora_rank", "2",
+        "--save_dir", str(out_dir),
+        "--clean_image_num", "2", "--gen_nums", "1",
+        "--num_inference_steps", "1", "--max_input_image_size", "48",
+        "--tiny_model", "--dtype", "fp32", "--seed", "5"])
+    args.func(args)
+    assert any(f.endswith(".png") for f in os.listdir(out_dir))

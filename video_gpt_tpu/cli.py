@@ -152,6 +152,41 @@ def _restore_train_params(checkpoint_dir, model_cfg, step=None, ema=False,
     return tree, step
 
 
+def _restore_lora_adapters(checkpoint_dir, model_cfg, rank, step=None,
+                           ema=False, input_head=False):
+    """Restore the ADAPTER tree of a ``train --use_lora`` run (its
+    ``state.params`` IS the adapter tree — trainer.py LoRA branch)."""
+    import jax
+    import jax.numpy as jnp
+
+    from .layout import RowSpec, build_layout
+    from .models.video_gpt import Batch, VideoGPT
+    from .training.lora import init_lora
+    from .utils import checkpoint as ckpt
+
+    model = VideoGPT(model_cfg, dtype=jnp.float32, train_init=True,
+                     input_head=input_head)
+    lay = build_layout([RowSpec((1, 1), "training")], 4)
+    z = jnp.zeros((2, 4, 4, model_cfg.in_channels))
+    cl = jnp.zeros((1, 4, 4, model_cfg.in_channels))
+    lora_abs = jax.eval_shape(
+        lambda: init_lora(
+            jax.eval_shape(lambda: model.init(
+                jax.random.PRNGKey(0), Batch.from_layout(lay), z,
+                jnp.zeros((2,)), cl))["params"],
+            rank, jax.random.PRNGKey(0)))
+    field = "ema_params" if ema else "params"
+    cpu = jax.devices("cpu")[0]
+    with jax.default_device(cpu):
+        out, step = ckpt.restore_subtree(checkpoint_dir, {field: lora_abs},
+                                         step=step)
+    if out[field] is None:
+        raise SystemExit("LoRA checkpoint has no EMA adapters; drop --ema")
+    print(f"restored LoRA adapters (rank {rank}) step {step} from "
+          f"{checkpoint_dir}")
+    return out[field]
+
+
 def cmd_generate(args):
     import cv2
     import jax
@@ -193,6 +228,21 @@ def cmd_generate(args):
             input_head=args.input_head, cast_dtype=dtype)
     else:
         params = None
+    if args.lora_checkpoint_dir:
+        # inference-time LoRA merge (reference: LVMPipeline.merge_lora,
+        # LVM/pipeline.py:97-101): adapters from a `train --use_lora` run
+        # fold into the base kernels; the served model stays plain dense
+        if params is None:
+            raise SystemExit("--lora_checkpoint_dir needs base weights "
+                             "(--model_ckpt or --checkpoint_dir)")
+        from .training.lora import merge_lora
+        lora = _restore_lora_adapters(
+            args.lora_checkpoint_dir, model_cfg, rank=args.lora_rank,
+            step=args.step, ema=args.ema, input_head=args.input_head)
+        params = {"params": merge_lora(params["params"], lora)}
+        params = jax.tree.map(
+            lambda x: x.astype(dtype)
+            if jnp.issubdtype(x.dtype, jnp.floating) else x, params)
     if args.vae_ckpt:
         from .models.vae import vae_params_from_diffusers
         from .utils.torch_import import load_reference_checkpoint
@@ -550,6 +600,12 @@ def build_parser() -> argparse.ArgumentParser:
                    help="orbax checkpoint step (default: latest)")
     g.add_argument("--ema", action="store_true",
                    help="use the EMA weights from --checkpoint_dir")
+    g.add_argument("--lora_checkpoint_dir", type=str, default=None,
+                   help="orbax checkpoints of a `train --use_lora` run; "
+                        "adapters merge into the base weights at load "
+                        "(reference merge_lora, LVM/pipeline.py:97-101)")
+    g.add_argument("--lora_rank", type=int, default=8,
+                   help="rank the LoRA run trained with")
     g.add_argument("--input_head", action="store_true",
                    help="checkpoint was trained with --input_output_return")
     g.add_argument("--vae_ckpt", type=str, default=None)
