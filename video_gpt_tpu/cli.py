@@ -50,6 +50,16 @@ def cmd_train(args):
         input_output_return=args.input_output_return,
         offload_optimizer=args.offload_optimizer,
         offload_grad_splits=args.offload_grad_splits,
+        lr_scheduler=args.lr_scheduler,
+        lr_warmup_steps=args.lr_warmup_steps,
+        gradient_accumulation_steps=args.gradient_accumulation_steps,
+        max_grad_norm=args.max_grad_norm,
+        adam_weight_decay=args.adam_weight_decay,
+        adam_epsilon=args.adam_epsilon,
+        **({"frame_interval": args.frame_interval}
+           if args.frame_interval is not None else {}),
+        **({"max_input_length_limit": args.max_input_length_limit}
+           if args.max_input_length_limit is not None else {}),
     )
     vae_cfg = VAEConfig.tiny() if args.tiny_model else VAEConfig()
     vae_params = None
@@ -547,6 +557,19 @@ def build_parser() -> argparse.ArgumentParser:
     t.add_argument("--cls_weight", type=float, default=None)
     t.add_argument("--input_output_return", action="store_true")
     t.add_argument("--input_noise", type=float, default=0.9)
+    # optimisation knobs matching the reference drivers
+    # (train_x1_stage1_noiseinput.py argparse)
+    t.add_argument("--frame_interval", type=int, default=None,
+                   help="frame stride (stage recipes default to 4)")
+    t.add_argument("--lr_scheduler", default="constant_with_warmup",
+                   choices=["constant", "constant_with_warmup", "cosine"])
+    t.add_argument("--lr_warmup_steps", type=int, default=1000)
+    t.add_argument("--gradient_accumulation_steps", type=int, default=1)
+    t.add_argument("--max_grad_norm", type=float, default=1.0)
+    t.add_argument("--adam_weight_decay", type=float, default=0.1)
+    t.add_argument("--adam_epsilon", type=float, default=1e-8)
+    t.add_argument("--max_input_length_limit", type=int, default=None,
+                   help="override the stage recipe's sequence budget")
     t.add_argument("--no_auto_resume", action="store_true")
     t.add_argument("--model_ckpt", type=str, default=None,
                    help="reference-format torch/safetensors initial weights")
