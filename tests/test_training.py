@@ -121,6 +121,27 @@ def test_graceful_shutdown_event():
     gs.restore()
 
 
+def test_higher_order_loss_scale():
+    """order=4 rescales each frame's loss by the detached mean(err^2)/
+    mean(err^4) factor so its magnitude equals the squared loss
+    (LVM/train_helper/loss.py:211-218): with a zero-output model the
+    per-frame values must therefore MATCH the order=2 ones exactly."""
+    layout, inputs = _inputs()
+    model = VideoGPT(CFG, dtype=jnp.float32, train_init=True)
+    params = model.init(jax.random.PRNGKey(0), inputs.batch, inputs.x1,
+                        jnp.zeros((layout.num_noisy_frames,)),
+                        inputs.clean_latents)
+    _, aux2 = training_loss(model, params, jax.random.PRNGKey(1), inputs,
+                            max_blocks=3, order=2)
+    _, aux4 = training_loss(model, params, jax.random.PRNGKey(1), inputs,
+                            max_blocks=3, order=4)
+    np.testing.assert_allclose(np.asarray(aux4["per_frame_loss"]),
+                               np.asarray(aux2["per_frame_loss"]), rtol=1e-5)
+    # but the GRADIENT flows through the order-4 term, not the scale:
+    # a model with params must see different grads. (smoke: loss finite)
+    assert np.isfinite(float(np.asarray(aux4["per_frame_loss"]).sum()))
+
+
 def test_aux_loss_excludes_padded_clean_slots():
     """clean_weights masks the shape-padding slots out of the aux loss."""
     from video_gpt_tpu.data.video import ClipSample

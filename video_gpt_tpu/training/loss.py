@@ -99,8 +99,17 @@ def training_loss(
         pred = model.apply(params, inputs.batch, xt, t, clean_in)
 
     target = x1 if prediction_target == "x1" else (x1 - x0)
-    err = (target.astype(jnp.float32) - pred.astype(jnp.float32)) ** order
-    per_frame = jnp.mean(err.reshape(err.shape[0], -1), axis=-1)  # [Nn]
+    diff = target.astype(jnp.float32) - pred.astype(jnp.float32)
+    err = (diff ** order).reshape(diff.shape[0], -1)
+    per_frame = jnp.mean(err, axis=-1)  # [Nn]
+    if order != 2:
+        # the reference rescales the higher-order loss per frame so its
+        # magnitude matches the squared loss, with the scale detached
+        # (loss.py:211-218): scale_i = mean(err2_i)/mean(err_order_i)
+        per_frame2 = jnp.mean((diff ** 2).reshape(diff.shape[0], -1), axis=-1)
+        scale = jax.lax.stop_gradient(
+            per_frame2 / jnp.where(per_frame == 0.0, 1.0, per_frame))
+        per_frame = scale * per_frame
     if inputs.frame_weights is not None:
         per_frame = per_frame * inputs.frame_weights
 
