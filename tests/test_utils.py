@@ -243,3 +243,21 @@ def test_cli_lora_train_then_merged_inference(tmp_path):
         "--tiny_model", "--dtype", "fp32", "--seed", "5"])
     args.func(args)
     assert any(f.endswith(".png") for f in os.listdir(out_dir))
+
+
+def test_prefetcher_multiworker_order():
+    """get() must return batches strictly in index order even when several
+    worker threads race (later indices can reach the queue first) — the
+    deterministic data order that resume relies on."""
+    import time as _time
+
+    from video_gpt_tpu.data.prefetch import Prefetcher
+
+    def make(idx):
+        _time.sleep(0.002 * ((idx * 7) % 5))  # jitter completion order
+        return idx
+
+    p = Prefetcher(make, depth=4, workers=4, start=3)
+    got = [p.get() for _ in range(40)]
+    p.close()
+    assert got == list(range(3, 43))

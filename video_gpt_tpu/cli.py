@@ -56,6 +56,10 @@ def cmd_train(args):
         max_grad_norm=args.max_grad_norm,
         adam_weight_decay=args.adam_weight_decay,
         adam_epsilon=args.adam_epsilon,
+        adam_beta1=args.adam_beta1,
+        adam_beta2=args.adam_beta2,
+        num_workers=args.num_workers,
+        prefetch_depth=args.prefetch_depth,
         **({"frame_interval": args.frame_interval}
            if args.frame_interval is not None else {}),
         **({"max_input_length_limit": args.max_input_length_limit}
@@ -103,7 +107,16 @@ def cmd_train(args):
         vae_cfg=vae_cfg, vae_params=vae_params, init_params=init_params,
         target_resolution=tuple(args.target_resolution),
         mesh_cfg=mesh_cfg, seed=args.seed)
-    trainer.run(args.max_steps, log_writer=writer)
+    steps = args.max_steps
+    if args.epochs is not None:
+        # reference drivers count EPOCHS over the dataset
+        # (train_x1_stage1_noiseinput.py argparse); one step consumes
+        # batch_size_per_device * mesh_data rows
+        rows = max(1, trainer._batch_rows)
+        steps = args.epochs * max(1, len(trainer.dataset) // rows)
+        print(f"--epochs {args.epochs} => {steps} steps "
+              f"({len(trainer.dataset)} clips, {rows} rows/step)")
+    trainer.run(steps, log_writer=writer)
 
 
 def _restore_train_params(checkpoint_dir, model_cfg, step=None, ema=False,
@@ -464,6 +477,8 @@ def cmd_train_image(args):
         max_input_length_limit=args.max_input_length_limit,
         offload_optimizer=args.offload_optimizer,
         offload_grad_splits=args.offload_grad_splits,
+        num_workers=args.num_workers,
+        prefetch_depth=args.prefetch_depth,
     )
     vae_cfg = VAEConfig.tiny() if args.tiny_model else VAEConfig()
     vae_params = None
@@ -568,6 +583,16 @@ def build_parser() -> argparse.ArgumentParser:
     t.add_argument("--max_grad_norm", type=float, default=1.0)
     t.add_argument("--adam_weight_decay", type=float, default=0.1)
     t.add_argument("--adam_epsilon", type=float, default=1e-8)
+    t.add_argument("--adam_beta1", type=float, default=0.9)
+    t.add_argument("--adam_beta2", type=float, default=0.95)
+    t.add_argument("--epochs", type=int, default=None,
+                   help="train for N passes over the dataset instead of "
+                        "--max_steps (reference drivers count epochs)")
+    t.add_argument("--num_workers", type=int, default=1,
+                   help="batch-building worker threads (reference "
+                        "DataLoader num_workers=4)")
+    t.add_argument("--prefetch_depth", type=int, default=2,
+                   help="prefetched batches held ahead of the device step")
     t.add_argument("--max_input_length_limit", type=int, default=None,
                    help="override the stage recipe's sequence budget")
     t.add_argument("--no_auto_resume", action="store_true")
@@ -702,6 +727,9 @@ def build_parser() -> argparse.ArgumentParser:
     ti.add_argument("--batch_size_per_device", type=int, default=1)
     ti.add_argument("--lr", type=float, default=1e-4)
     ti.add_argument("--max_steps", type=int, default=100000)
+    ti.add_argument("--num_workers", type=int, default=1,
+                    help="batch-building worker threads")
+    ti.add_argument("--prefetch_depth", type=int, default=2)
     ti.add_argument("--results_dir", type=str, default="results_image")
     ti.add_argument("--log_every", type=int, default=100)
     ti.add_argument("--ckpt_every", type=int, default=1000)

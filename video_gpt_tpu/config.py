@@ -153,6 +153,10 @@ class TrainConfig:
     # forward recompute (needed at 3.8B scale on a 16G chip).
     offload_optimizer: bool = False
     offload_grad_splits: int = 1
+    # data loading (reference: DataLoader num_workers=4 / prefetch_factor,
+    # train_x1_stage1:244-272 — here worker THREADS feeding the Prefetcher)
+    num_workers: int = 1
+    prefetch_depth: int = 2
     # run control
     epochs: int = 1400
     log_every: int = 100

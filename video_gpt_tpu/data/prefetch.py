@@ -22,6 +22,8 @@ class Prefetcher:
         self._q: "queue.Queue" = queue.Queue(maxsize=depth)
         self._stop = threading.Event()
         self._next = start
+        self._consume = start       # next index the consumer must see
+        self._pending: dict = {}    # out-of-order arrivals (workers > 1)
         self._lock = threading.Lock()
         self._threads = [threading.Thread(target=self._run, daemon=True)
                          for _ in range(workers)]
@@ -45,7 +47,16 @@ class Prefetcher:
                     continue
 
     def get(self):
-        idx, batch = self._q.get()
+        """Returns batches strictly in index order: with several worker
+        threads racing, later indices can land on the queue first; they are
+        parked in ``_pending`` (at most ~``workers`` entries) until their
+        turn, so multi-worker runs keep the deterministic data order that
+        checkpoint resume relies on."""
+        while self._consume not in self._pending:
+            idx, batch = self._q.get()
+            self._pending[idx] = batch
+        batch = self._pending.pop(self._consume)
+        self._consume += 1
         if isinstance(batch, Exception):
             raise batch
         return batch

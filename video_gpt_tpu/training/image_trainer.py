@@ -256,7 +256,8 @@ class ImageGenTrainer:
 
         from ..data.prefetch import Prefetcher
         from ..parallel.distributed import GracefulShutdown
-        prefetcher = Prefetcher(self._collate, depth=2, workers=1,
+        prefetcher = Prefetcher(self._collate, depth=self.cfg.prefetch_depth,
+                                workers=self.cfg.num_workers,
                                 start=start_step)
         shutdown = GracefulShutdown()
         writer = ckpt.CheckpointWriter(ckpt_dir)

@@ -325,8 +325,8 @@ class Trainer:
 
         from ..data.prefetch import Prefetcher
         from ..parallel.distributed import GracefulShutdown
-        prefetcher = Prefetcher(make_batch, depth=2, workers=1,
-                                start=start_step)
+        prefetcher = Prefetcher(make_batch, depth=cfg.prefetch_depth,
+                                workers=cfg.num_workers, start=start_step)
         shutdown = GracefulShutdown()
         writer = ckpt.CheckpointWriter(ckpt_dir)
 
