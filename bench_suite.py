@@ -135,11 +135,12 @@ def bench_batched_inference():
     assert videos, VIDS
     n_gen = 16
 
-    frames = {p: _read_frames(p, 8) for p in videos}
+    # preprocess once per video: the arrays are both the bucket key and
+    # the generate_batch input (preprocess_frames is idempotent)
+    frames = {p: preprocess_frames(_read_frames(p, 8), W) for p in videos}
     groups: dict = {}
     for p in videos:
-        shape = preprocess_frames(frames[p], W).shape
-        groups.setdefault(shape, []).append(p)
+        groups.setdefault(frames[p].shape, []).append(p)
     kw = dict(gen_nums=[n_gen], num_inference_steps=STEPS,
               img_guidance_scale=1.5, max_input_image_size=W,
               cfg_interval=CFG_INTERVAL)

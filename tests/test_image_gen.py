@@ -108,3 +108,23 @@ def test_image_gen_pipeline_smoke():
     solo1 = pipe("a bird", input_images=None, height=64, width=64,
                  num_inference_steps=2, guidance_scale=2.5, seed=1)
     assert np.array_equal(np.asarray(outs[1]), np.asarray(solo1[0]))
+
+    # prompt list + per-prompt image lists (OmniGen/pipeline.py:139,161-162:
+    # input_images is List[List] — prompt i pairs with input_images[i])
+    img = Image.new("RGB", (64, 64), (128, 30, 200))
+    pair = pipe(["a cat <img><|image_1|></img>", "a dog"],
+                input_images=[[img], None], height=64, width=64,
+                num_inference_steps=2, guidance_scale=2.0,
+                img_guidance_scale=1.5, max_input_image_size=64, seed=0)
+    assert len(pair) == 2
+    solo_img = pipe("a cat <img><|image_1|></img>", input_images=[img],
+                    height=64, width=64, num_inference_steps=2,
+                    guidance_scale=2.0, img_guidance_scale=1.5,
+                    max_input_image_size=64, seed=0)
+    assert np.array_equal(np.asarray(pair[0]), np.asarray(solo_img[0]))
+    # a flat (non-nested) input_images with a prompt list is rejected
+    # rather than silently conditioning every prompt on all images
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        pipe(["a", "b"], input_images=["x.png"], height=64, width=64,
+             num_inference_steps=1)

@@ -139,7 +139,13 @@ def test_chunk_sizes():
     sizes = chunk_sizes((32, 8192, 3072))
     assert sum(sizes) == 32 and len(sizes) > 1
     assert max(sizes) - min(sizes) <= 1
-    assert max(sizes) * 8192 * 3072 * 4 <= (384 << 20) * 2  # bounded
+    assert max(sizes) * 8192 * 3072 * 4 <= 384 << 20  # hard per-chunk bound
+    # few big rows: ceil-div on TOTAL bytes would pick k=2 -> a 400MB
+    # chunk; the per-ROW rule gives one 200MB row per chunk
+    rows_200mb = (200 << 20) // 4
+    assert chunk_sizes((3, rows_200mb)) == (1, 1, 1)
+    # a single row above the bound cannot split further: one row per chunk
+    assert chunk_sizes((2, (500 << 20) // 4)) == (1, 1)
 
 
 def test_offload_rejects_multisteps():

@@ -347,18 +347,20 @@ def cmd_generate(args):
 
     if len(video_paths) > 1:
         # same-bucket videos ride ONE B=N program set
-        # (pipeline.generate_batch); the reference loops one at a time
-        all_frames = {video_paths[0]: frames}
+        # (pipeline.generate_batch); the reference loops one at a time.
+        # Preprocess ONCE per video — the arrays are both the bucket key
+        # and the generate_batch input (preprocess_frames is idempotent).
+        pre: dict = {}
         groups: dict = {}
         for path in video_paths:
-            fr = all_frames.setdefault(path, None) or read_conditioning(path)
-            all_frames[path] = fr
-            shape = preprocess_frames(fr, args.max_input_image_size).shape
-            groups.setdefault(shape, []).append(path)
+            fr = frames if path == video_paths[0] else read_conditioning(path)
+            arr = preprocess_frames(fr, args.max_input_image_size)
+            pre[path] = arr
+            groups.setdefault(arr.shape, []).append(path)
         order = {p: k for k, p in enumerate(video_paths)}
         for paths in groups.values():
             outs = pipe.generate_batch(
-                [all_frames[p] for p in paths],
+                [pre[p] for p in paths],
                 seeds=[args.seed + order[p] for p in paths], **kw)
             for p, images in zip(paths, outs):
                 save(order[p], p, images)

@@ -36,7 +36,15 @@ def crop_arr(img: Image.Image, max_image_size: int) -> Image.Image:
 
 def preprocess_frames(frames: Sequence, max_image_size: int) -> np.ndarray:
     """PIL images / HWC uint8 arrays -> [N, H, W, 3] float32 in [-1, 1].
-    All frames must share a resolution after cropping (video path)."""
+    All frames must share a resolution after cropping (video path).
+
+    Idempotent: an already-preprocessed [N, H, W, 3] float32 stack is
+    returned as-is, so callers that bucket videos by preprocessed shape
+    (cli generate --video_path_dir, bench_suite) can preprocess once and
+    pass the arrays straight into generate_batch."""
+    if (isinstance(frames, np.ndarray) and frames.ndim == 4
+            and frames.dtype == np.float32):
+        return frames
     out: List[np.ndarray] = []
     for f in frames:
         img = f if isinstance(f, Image.Image) else Image.fromarray(

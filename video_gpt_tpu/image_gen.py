@@ -284,12 +284,23 @@ class ImageGenPipeline:
             # the reference's default separate_cfg_infer=True each prompt's
             # CFG rows run separately; outputs concatenate in prompt order.
             # Per-prompt keys derive from the base seed, like a loop of
-            # single calls with seed, seed+1, ...
+            # single calls with seed, seed+1, ...  input_images for a
+            # prompt list is a List[List[str]] — one inner list per prompt
+            # (OmniGen/pipeline.py:139,161-162).
+            if input_images is not None:
+                if len(input_images) != len(prompt) or not all(
+                        im is None or isinstance(im, (list, tuple))
+                        for im in input_images):
+                    raise ValueError(
+                        "with a prompt list, input_images must be a list of "
+                        "per-prompt image lists of the same length "
+                        "(OmniGen/pipeline.py:139)")
             base = 0 if seed is None else seed
             out: List = []
             for i, p_ in enumerate(prompt):
+                imgs_i = None if input_images is None else input_images[i]
                 out.extend(self(
-                    p_, input_images, height, width, num_inference_steps,
+                    p_, imgs_i, height, width, num_inference_steps,
                     guidance_scale, use_img_guidance, img_guidance_scale,
                     max_input_image_size, negative_prompt,
                     use_input_image_size_as_output, prediction_type,

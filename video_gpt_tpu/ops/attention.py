@@ -157,9 +157,12 @@ def attend_decode_split(q: jax.Array, k_cache: jax.Array, v_cache: jax.Array,
         b, hkv, lc, dp = k_cache.shape
         lt = k_new.shape[2]
         h = q.shape[2]
+        # shape-only probe: flash_attention_supported never reads values,
+        # so an abstract stand-in for the concatenated key space suffices
+        # (jnp.empty here would trace a dead full-cache-sized allocation)
         if flash_attention_supported(
-                q, jnp.empty((b, hkv, lc + lt, dp), k_cache.dtype), None,
-                kv_heads_major=True):
+                q, jax.ShapeDtypeStruct((b, hkv, lc + lt, dp), k_cache.dtype),
+                None, kv_heads_major=True):
             return flash_mha_decode_split(q, k_cache, v_cache, k_new, v_new,
                                           mask)
         if ((jax.default_backend() == "tpu" or INTERPRET)

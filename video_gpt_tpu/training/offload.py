@@ -84,8 +84,14 @@ def chunk_sizes(shape: tuple, elem_f32_bytes: int = 4) -> tuple:
     n = int(np.prod(shape, dtype=np.int64)) if shape else 1
     if not shape or shape[0] <= 1 or n * elem_f32_bytes <= CHUNK_BYTES_F32:
         return (shape[0] if shape else 1,)
-    k = min(shape[0],
-            -(-(n * elem_f32_bytes) // CHUNK_BYTES_F32))  # ceil div
+    # Pick k from the per-ROW size so the LARGEST balanced chunk respects
+    # the bound (ceil-div on total bytes can overshoot: 3 rows x 200MB gives
+    # k=2 -> a 400MB chunk). rows_per_chunk = how many rows fit the bound;
+    # if even one row exceeds it, axis-0 splitting can do no better than
+    # one row per chunk.
+    row_bytes = (n // shape[0]) * elem_f32_bytes
+    rows_per_chunk = max(1, CHUNK_BYTES_F32 // max(row_bytes, 1))
+    k = min(shape[0], -(-shape[0] // rows_per_chunk))  # ceil div
     base, rem = divmod(shape[0], k)
     return tuple(base + (1 if i < rem else 0) for i in range(k))
 
@@ -161,6 +167,27 @@ def init_offload_state(params: Any, device=None) -> OffloadState:
         mu=jax.tree.map(zero, inner, is_leaf=is_leaf),
         nu=jax.tree.map(zero, inner, is_leaf=is_leaf),
         master=jax.tree.map(cast, inner, is_leaf=is_leaf),
+    )
+
+
+def repin_offload_state(state: OffloadState, device=None) -> OffloadState:
+    """Re-assert host placement on a RESTORED OffloadState.
+
+    Orbax's StandardRestore is not trusted to reproduce the pinned_host
+    memory kind on this backend (the same aval-vs-.sharding mismatch the
+    init docstring records would make a wrong placement invisible until
+    the cached update programs reject host+device mixing — or the 45.6G
+    f32 state OOMs HBM at 3.8B). device_put is a no-op for leaves already
+    host-resident; a mis-placed leaf moves one <=CHUNK_BYTES_F32 chunk at
+    a time (the leaves are chunk tuples), never the whole tree."""
+    host = host_sharding(device)
+    dev = device_sharding(device)
+    pin = lambda x: jax.device_put(x, host)
+    return OffloadState(
+        count=jax.device_put(state.count, dev),
+        mu=jax.tree.map(pin, state.mu),
+        nu=jax.tree.map(pin, state.nu),
+        master=jax.tree.map(pin, state.master),
     )
 
 

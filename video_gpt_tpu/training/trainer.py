@@ -311,6 +311,10 @@ class Trainer:
         if cfg.auto_resume and ckpt.latest_step(ckpt_dir) is not None:
             state, start_step = ckpt.restore_checkpoint(ckpt_dir, state)
             state = self._place_state(state)
+            if cfg.offload_optimizer:
+                from .offload import repin_offload_state
+                state = state._replace(
+                    opt_state=repin_offload_state(state.opt_state))
             print(f"resumed from step {start_step}")
 
         n_img = tokens_per_frame(*self.target_resolution)
