@@ -261,3 +261,35 @@ def test_prefetcher_multiworker_order():
     got = [p.get() for _ in range(40)]
     p.close()
     assert got == list(range(3, 43))
+
+
+def test_checkpoint_format_resolution(tmp_path):
+    """load_reference_checkpoint covers the reference driver's four formats
+    and ITS precedence order (inference driver:49-66): model.pt >
+    model.safetensors > pytorch_model.bin file > pytorch_model.bin/ shard
+    directory (merged)."""
+    import torch
+    from video_gpt_tpu.utils.torch_import import (load_reference_checkpoint,
+                                                  resolve_checkpoint_path)
+
+    d = tmp_path / "ckpt"
+    d.mkdir()
+    # shard DIRECTORY named pytorch_model.bin, like HF sharded saves
+    shards = d / "pytorch_model.bin"
+    shards.mkdir()
+    torch.save({"a": torch.ones(2)}, shards / "pytorch_model-00001.bin")
+    torch.save({"b": torch.full((3,), 2.0)}, shards / "pytorch_model-00002.bin")
+    sd = load_reference_checkpoint(str(d))
+    assert set(sd) == {"a", "b"} and sd["b"].dtype == np.float32
+    np.testing.assert_array_equal(sd["a"], np.ones(2, np.float32))
+
+    # safetensors takes precedence over the shard dir ...
+    from safetensors.numpy import save_file
+    save_file({"c": np.zeros(1, np.float32)}, str(d / "model.safetensors"))
+    assert set(load_reference_checkpoint(str(d))) == {"c"}
+    # ... and model.pt over both (and it implies prediction_type 'v',
+    # which cli generate derives from the resolved basename)
+    torch.save({"d": torch.zeros(1)}, d / "model.pt")
+    assert set(load_reference_checkpoint(str(d))) == {"d"}
+    import os
+    assert os.path.basename(resolve_checkpoint_path(str(d))) == "model.pt"

@@ -241,7 +241,14 @@ def cmd_generate(args):
 
     if args.model_ckpt:
         from .utils.torch_import import (load_reference_checkpoint,
+                                         resolve_checkpoint_path,
                                          videogpt_params_from_torch)
+        if args.prediction_type is None and os.path.basename(
+                resolve_checkpoint_path(args.model_ckpt)) == "model.pt":
+            # reference driver: a model.pt checkpoint implies a
+            # velocity-prediction model (inference driver:53-54)
+            args.prediction_type = "v"
+            print("model.pt checkpoint: prediction_type defaults to 'v'")
         params = {"params": videogpt_params_from_torch(
             load_reference_checkpoint(args.model_ckpt), model_cfg)}
     elif args.checkpoint_dir:
@@ -251,6 +258,8 @@ def cmd_generate(args):
             input_head=args.input_head, cast_dtype=dtype)
     else:
         params = None
+    if args.prediction_type is None:
+        args.prediction_type = "x1"
     if args.lora_checkpoint_dir:
         # inference-time LoRA merge (reference: LVMPipeline.merge_lora,
         # LVM/pipeline.py:97-101): adapters from a `train --use_lora` run
@@ -670,7 +679,9 @@ def build_parser() -> argparse.ArgumentParser:
                    help="reference parity: VAE-decode+re-encode recycled "
                         "predictions (LVM/pipeline.py:491-498); default "
                         "feeds latents back directly")
-    g.add_argument("--prediction_type", default="x1", choices=["x1", "v"])
+    g.add_argument("--prediction_type", default=None, choices=["x1", "v"],
+                   help="default: x1, or v when --model_ckpt resolves to a "
+                        "model.pt (reference inference driver:53-54)")
     g.add_argument("--cfg_interval", type=float, nargs=2, default=None,
                    metavar=("LO", "HI"),
                    help="apply guidance only where sigma in [LO, HI); "

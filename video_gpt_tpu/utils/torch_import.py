@@ -111,20 +111,43 @@ def videogpt_params_from_torch(sd: Mapping[str, np.ndarray],
     return params
 
 
-def load_reference_checkpoint(path: str) -> Dict[str, np.ndarray]:
-    """Read model.safetensors / model.pt / pytorch_model.bin(.dir) into a
-    flat numpy dict (format fallbacks per LVM inference driver:49-68)."""
+def resolve_checkpoint_path(path: str) -> str:
+    """Resolve a checkpoint dir to the concrete artifact the reference
+    driver would load, in ITS precedence order: model.pt, then
+    model.safetensors, then pytorch_model.bin — where the last may be a
+    FILE or a DIRECTORY of ``*.bin`` shards (LVM inference driver:49-66).
+    A file path is returned as-is; the shard case returns the shard dir."""
     import os
 
-    if os.path.isdir(path):
-        for name in ("model.safetensors", "model.pt", "pytorch_model.bin"):
-            p = os.path.join(path, name)
-            if os.path.exists(p):
-                path = p
-                break
+    if not os.path.isdir(path):
+        return path
+    for name in ("model.pt", "model.safetensors", "pytorch_model.bin"):
+        p = os.path.join(path, name)
+        if os.path.exists(p):
+            return p
+    raise FileNotFoundError(
+        f"no model.pt / model.safetensors / pytorch_model.bin under {path}")
+
+
+def load_reference_checkpoint(path: str) -> Dict[str, np.ndarray]:
+    """Read model.safetensors / model.pt / pytorch_model.bin (file or shard
+    directory) into a flat numpy dict (format fallbacks and precedence per
+    the LVM inference driver:49-66)."""
+    import os
+
+    path = resolve_checkpoint_path(path)
     if path.endswith(".safetensors"):
         from safetensors.numpy import load_file
         return dict(load_file(path))
     import torch
-    sd = torch.load(path, map_location="cpu", weights_only=True)
+    if os.path.isdir(path):  # pytorch_model.bin shard directory
+        sd: Dict = {}
+        for name in sorted(os.listdir(path)):
+            if name.endswith(".bin"):
+                sd.update(torch.load(os.path.join(path, name),
+                                     map_location="cpu", weights_only=True))
+        if not sd:
+            raise FileNotFoundError(f"no *.bin shards under {path}")
+    else:
+        sd = torch.load(path, map_location="cpu", weights_only=True)
     return {k: v.float().numpy() for k, v in sd.items()}
