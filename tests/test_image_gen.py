@@ -98,6 +98,16 @@ def test_image_gen_pipeline_smoke():
                 num_inference_steps=2, guidance_scale=2.5, seed=0)
     assert len(out2) == 1 and out2[0].size == (64, 64)
 
+    # output_type="pt" (OmniGen/pipeline.py:307): same pixels pre-uint8,
+    # [0,1] float NHWC instead of PIL
+    pt = pipe("a dog", input_images=None, height=64, width=64,
+              num_inference_steps=2, guidance_scale=2.5, seed=0,
+              output_type="pt")
+    assert pt.shape == (1, 64, 64, 3) and pt.dtype == np.float32
+    assert float(pt.min()) >= 0.0 and float(pt.max()) <= 1.0
+    assert np.array_equal((pt[0] * 255).astype(np.uint8),
+                          np.asarray(out2[0]))
+
     # prompt-LIST parity (OmniGen/pipeline.py:138): per-prompt separate-CFG
     # evaluation, outputs concatenated in prompt order; element i matches a
     # single call with seed base+i

@@ -278,6 +278,7 @@ class ImageGenPipeline:
         prediction_type: str = "v",
         time_shifting_factor: float = 1.0,
         seed: Optional[int] = None,
+        output_type: str = "pil",
     ):
         if not isinstance(prompt, str):
             # prompt LIST parity (OmniGen/pipeline.py:138,205-206): under
@@ -304,7 +305,7 @@ class ImageGenPipeline:
                     guidance_scale, use_img_guidance, img_guidance_scale,
                     max_input_image_size, negative_prompt,
                     use_input_image_size_as_output, prediction_type,
-                    time_shifting_factor, base + i))
+                    time_shifting_factor, base + i, output_type))
             return out
         proc = self.processor
         proc.max_image_size = max_input_image_size
@@ -362,4 +363,10 @@ class ImageGenPipeline:
         latents = run(self.params, batch, clean, z0)[:1]
         out = self.vae.apply(self.vae_params, latents,
                              method=AutoencoderKL.decode)
+        if output_type == "pt":
+            # tensor output (OmniGen/pipeline.py:307-308): pixels in [0, 1].
+            # NHWC float32 numpy here — the framework's layout — vs the
+            # reference's NCHW torch tensor.
+            x = np.asarray(out, np.float32)
+            return np.clip(x * 0.5 + 0.5, 0.0, 1.0)
         return postprocess_frames(np.asarray(out, np.float32))
