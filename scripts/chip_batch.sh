@@ -21,6 +21,13 @@ run bench 1800 python bench.py
 #    incl. depth-scaling 4/8/16, fulldepth offload, and the fixed LoRA leg
 run suite 7200 env BENCH_SUITE_OUT=/root/repo/BENCH_SUITE_r03.json \
   python bench_suite.py
+# preserve the artifact even if no interactive session is alive when the
+# batch finishes (sessions have been dying to gateway errors)
+if [ -s /root/repo/BENCH_SUITE_r03.json ]; then
+  (cd /root/repo && git add BENCH_SUITE_r03.json &&
+   git commit -m "BENCH_SUITE_r03: on-chip suite artifact" --only \
+     -- BENCH_SUITE_r03.json) || true
+fi
 
 # 3. real-mosaic kernel tests (incl. the new pipelined-body test)
 run tpu_tests 3600 python -m pytest tests_tpu/ -q
