@@ -199,7 +199,7 @@ def bench_long_rollout():
     })
 
 
-def _train_step_bench(stage, frame_num, num_layers, label):
+def _train_step_bench(stage, frame_num, num_layers, label, grad_only=False):
     from video_gpt_tpu.config import ModelConfig, stage_config
     from video_gpt_tpu.data.video import VideoClipDataset
     from video_gpt_tpu.layout import tokens_per_frame
@@ -236,6 +236,61 @@ def _train_step_bench(stage, frame_num, num_layers, label):
     params = model.init(jax.random.PRNGKey(3), tb.inputs.batch,
                         jnp.zeros((nn_, hl, wl, 4)), jnp.zeros((nn_,)),
                         jnp.zeros((nc, hl, wl, 4)))
+    from video_gpt_tpu.utils.profiling import force_ready
+
+    if grad_only:
+        # fwd+bwd only over bf16 params: f32 AdamW state at depth >= 8
+        # exceeds one v5e's HBM (that is what ZeRO / offload are for), and
+        # the depth-invariance claim is about the scan body's per-layer
+        # compute, which the optimizer update does not touch.
+        import optax
+        from video_gpt_tpu.training.loss import training_loss
+        params = jax.tree.map(
+            lambda a: a.astype(jnp.bfloat16)
+            if jnp.issubdtype(a.dtype, jnp.floating) else a, params)
+
+        def loss_fn(p, rng, inputs):
+            return training_loss(
+                model, {"params": p}, rng, inputs, max_blocks=frame_num,
+                input_noise=tcfg.input_noise,
+                input_output_return=tcfg.input_output_return)
+
+        def full_step(params, vparams, rng, tb):
+            r_enc, r_loss = jax.random.split(rng)
+            latents = vae.apply(vparams, tb.pixels, r_enc,
+                                method=AutoencoderKL.encode)
+            latents = jax.lax.stop_gradient(latents)
+            inputs = tb.inputs._replace(
+                x1=jnp.take(latents, tb.noisy_sel, axis=0),
+                clean_latents=jnp.take(latents, tb.clean_sel, axis=0))
+            (loss, _), grads = jax.value_and_grad(
+                loss_fn, has_aux=True)(params["params"], r_loss, inputs)
+            return loss, optax.global_norm(grads)
+
+        step = jax.jit(full_step)
+        loss, gn = step(params, vparams, jax.random.PRNGKey(0), tb)
+        force_ready(loss)
+        times = []
+        for i in range(3):
+            t0 = time.perf_counter()
+            loss, gn = step(params, vparams, jax.random.fold_in(
+                jax.random.PRNGKey(1), i), tb)
+            jax.block_until_ready(loss)
+            times.append(time.perf_counter() - t0)
+        dt = _median(times)
+        _emit({
+            "metric": label + f" ({length} tokens, {num_layers} layers, "
+                      "VAE encode + fwd + bwd, NO optimizer update, bf16, "
+                      "remat)",
+            "value": round(length / dt, 1),
+            "unit": "tokens/s/chip",
+            "step_s": round(dt, 4),
+            "tokens_s_per_layer": round(length / dt * num_layers, 1),
+            "loss_finite": bool(np.isfinite(float(loss))),
+            "grad_norm_finite": bool(np.isfinite(float(gn))),
+        })
+        return
+
     state = init_train_state(model, params, tcfg)
     inner = make_train_step(model, tcfg, max_blocks=frame_num)
 
@@ -249,7 +304,6 @@ def _train_step_bench(stage, frame_num, num_layers, label):
             clean_latents=jnp.take(latents, tb.clean_sel, axis=0))
         return inner(state, r_loss, inputs)
 
-    from video_gpt_tpu.utils.profiling import force_ready
     step = jax.jit(full_step, donate_argnums=(0,))
     state, m = step(state, vparams, jax.random.PRNGKey(0), tb)
     force_ready(m["loss"])  # compile barrier + step 0
@@ -281,12 +335,18 @@ def bench_train_depth_scaling():
     """Substantiates the depth-extrapolation claim behind the reduced-depth
     train legs: tokens/s/layer at depth 4 / 8 / 16 should be ~flat under
     nn.scan (one compiled layer body; per-layer cost is depth-invariant).
-    Depth 32 does not fit one v5e's HBM with f32 AdamW state — that is what
-    the reference's ZeRO sharding / offload configs exist for."""
-    for depth in (4, 8, 16):
+
+    Measured as fwd+bwd only over bf16 params: f32 AdamW state at depth >= 8
+    does not fit one v5e's HBM (that is what the reference's ZeRO sharding /
+    offload configs exist for), and the claim being substantiated is the
+    scan body's per-layer compute cost, which excludes the optimizer. The
+    full step including AdamW is the train_stage1 leg (depth 4)."""
+    depths = tuple(int(d) for d in os.environ.get(
+        "DEPTHS", "4,8,16").split(","))
+    for depth in depths:
         _train_step_bench(1, 16, depth,
-                          f"stage-1 train step at depth {depth} "
-                          "(depth-invariance evidence)")
+                          f"stage-1 fwd+bwd at depth {depth} "
+                          "(depth-invariance evidence)", grad_only=True)
 
 
 def bench_train_stage4():

@@ -29,7 +29,9 @@ from video_gpt_tpu.utils.cache import enable_compilation_cache
 
 enable_compilation_cache()
 
-BQ, LK, D = 1024, 8192, 128
+# BQ=256: the serial variant holds the full [BQ, LK] f32 score matrix in
+# vmem (8M at 256; 32M at 1024 blows the 16M scoped-vmem limit)
+BQ, LK, D = 256, 8192, 128
 REPS = 20
 
 
