@@ -78,26 +78,25 @@ def main():
     kt_, vt_ = k[:, :, lc:], v[:, :, lc:]
     flops = 4 * B * H * lq * (lc + lt) * D
 
-    for bq, bk in [(512, 512), (256, 512), (1024, 512), (512, 1024),
-                   (1024, 1024), (512, 2048), (2048, 512), (2048, 1024)]:
-        timed_tf(f"stream_split b1 bq={bq} bk={bk}",
+    # block_q now equalizes internally (_stream_block_q): 2048 -> 4x1824
+    # (7296 rows) instead of 4x2048 (8192 rows, +13% MXU waste)
+    for bq, bk in [(2048, 512), (2048, 1024), (1024, 512), (512, 512)]:
+        timed_tf(f"stream_split b1 bq={bq}(eq) bk={bk}",
                  functools.partial(flash_mha_decode_streaming_split,
                                    block_q=bq, block_k=bk, mask=mask),
                  flops, q, kc, vc, kt_, vt_)
-    timed_tf("stream(concat) b1 bq=512 bk=512",
-             functools.partial(flash_mha_decode_streaming, mask=mask,
-                               kv_heads_major=True),
-             flops, q, k, v)
 
     # ---- uncond self-attention: lq = lk = 7248 ---------------------------
+    # resident is forced to bq=96 here (<128 MXU rows = >=25% array waste);
+    # the streaming kernel's tall equalized tiles should beat it
     q2, k2, v2, mask2 = mk(7248, 7248)
     flops2 = 4 * B * H * 7248 * 7248 * D
     timed_tf("resident uncond bq=96 (current)",
              functools.partial(flash_mha_decode, mask=mask2,
                                kv_heads_major=True),
              flops2, q2, k2, v2)
-    for bq, bk in [(512, 512), (512, 1024), (1024, 512), (256, 512)]:
-        timed_tf(f"stream uncond bq={bq} bk={bk}",
+    for bq, bk in [(2048, 512), (2048, 1024), (1024, 512), (512, 512)]:
+        timed_tf(f"stream uncond bq={bq}(eq) bk={bk}",
                  functools.partial(flash_mha_decode_streaming, mask=mask2,
                                    block_q=bq, block_k=bk,
                                    kv_heads_major=True),
@@ -109,14 +108,29 @@ def main():
     kc3, vc3 = k3[:, :, :lc3], v3[:, :, :lc3]
     kt3, vt3 = k3[:, :, lc3:], v3[:, :, lc3:]
     flops3 = 4 * B * H * lq3 * (lc3 + lt3) * D
-    timed_tf("resident_split flagship bq=auto(256) (current)",
+    timed_tf("resident_split flagship bq=auto(96) (current)",
              functools.partial(flash_mha_decode_split, mask=mask3),
              flops3, q3, kc3, vc3, kt3, vt3)
-    for bq, bk in [(512, 512), (512, 1024)]:
-        timed_tf(f"stream_split flagship bq={bq} bk={bk}",
+    for bq, bk in [(2048, 512), (1776, 512), (2048, 1024), (1024, 512),
+                   (512, 512)]:
+        timed_tf(f"stream_split flagship bq={bq}(eq) bk={bk}",
                  functools.partial(flash_mha_decode_streaming_split,
                                    block_q=bq, block_k=bk, mask=mask3),
                  flops3, q3, kc3, vc3, kt3, vt3)
+
+    # ---- flagship uncond: lq = lk = 3552 ----------------------------------
+    q4, k4, v4, mask4 = mk(3552, 3552)
+    flops4 = 4 * B * H * 3552 * 3552 * D
+    timed_tf("resident uncond flagship bq=auto(256) (cur)",
+             functools.partial(flash_mha_decode, mask=mask4,
+                               kv_heads_major=True),
+             flops4, q4, k4, v4)
+    for bq, bk in [(2048, 512), (1024, 512)]:
+        timed_tf(f"stream uncond flagship bq={bq}(eq) bk={bk}",
+                 functools.partial(flash_mha_decode_streaming, mask=mask4,
+                                   block_q=bq, block_k=bk,
+                                   kv_heads_major=True),
+                 flops4, q4, k4, v4)
 
 
 if __name__ == "__main__":
