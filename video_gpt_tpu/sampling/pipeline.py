@@ -247,9 +247,13 @@ class VideoGPTPipeline:
         c = self.model.cfg.in_channels
 
         rng, erng = jax.random.split(rng)
+        # clean_latents stays ONE stacked device array (n, hl, wl, c) for the
+        # whole rollout: per-frame Python lists cost ~2 eager dispatches per
+        # frame per block (slice + restack), and on this remote backend each
+        # eager op is a round trip — at 24-frame blocks that overhead rivaled
+        # the denoise itself
         clean_latents = self._encode(self.vae_params,
                                      jnp.asarray(pixels, dtype), erng)
-        clean_latents = [clean_latents[i] for i in range(len(pixels))]
 
         outputs: List = []
         # one-behind emit queue: each block's decoded frames (device
@@ -265,7 +269,7 @@ class VideoGPTPipeline:
                      else np.asarray(x, np.float32))
                 outputs.extend(postprocess_frames(x))
 
-        out_latents: List = []
+        out_latents: List = []  # one stacked array per block
         emit_initial = True
         # cross-block KV cache: (device cache, frames covered); reusable
         # only while the window hasn't slid (positions restart on slide) and
@@ -273,13 +277,13 @@ class VideoGPTPipeline:
         kv_cache = None
         kv_frames = 0
         for k, gen_num in enumerate(gen_nums):
-            if len(clean_latents) + gen_num > max_frame_window:
+            if int(clean_latents.shape[0]) + gen_num > max_frame_window:
                 clean_latents = clean_latents[
-                    gen_num + len(clean_latents) - max_frame_window:]
+                    gen_num + int(clean_latents.shape[0]) - max_frame_window:]
                 kv_cache, kv_frames = None, 0
             if k > 0 and clean_image_noise_level:
                 kv_cache, kv_frames = None, 0
-            n_clean = len(clean_latents)
+            n_clean = int(clean_latents.shape[0])
             layout_c = frame_block_inference_layout(
                 n_clean, gen_num, n_img, use_cfg=False)
             batch_c = Batch.from_layout(layout_c)
@@ -294,8 +298,7 @@ class VideoGPTPipeline:
                     0, gen_num, n_img, use_cfg=False)
                 batch_u = Batch.from_layout(layout_u)
 
-            cl = jnp.stack(clean_latents) if n_clean else jnp.zeros(
-                (0, hl, wl, c), dtype)
+            cl = clean_latents
             if k > 0 and clean_image_noise_level:
                 # re-noise recycled predictions (LVM/pipeline.py:496-497)
                 rng, nrng = jax.random.split(rng)
@@ -337,7 +340,7 @@ class VideoGPTPipeline:
                 # emit the VAE round-trip of the conditioning frames
                 if n_clean:
                     pending_emits.append(self._decode_u8(
-                        self.vae_params, jnp.stack(clean_latents)))
+                        self.vae_params, clean_latents))
                 emit_initial = False
 
             recycled = samples
@@ -353,13 +356,13 @@ class VideoGPTPipeline:
             else:
                 pending_emits.append(self._decode_u8(self.vae_params,
                                                      samples))
-            for i in range(gen_num):
-                out_latents.append(samples[i])
-                clean_latents.append(recycled[i])
+            out_latents.append(samples)
+            clean_latents = (jnp.concatenate([clean_latents, recycled])
+                             if n_clean else recycled)
 
         _drain_emits()
         if return_latents:
-            return outputs, out_latents
+            return outputs, [l for blk in out_latents for l in blk]
         return outputs
 
     def generate_batch(self, inputs_list: Sequence[Sequence],
@@ -441,12 +444,13 @@ class VideoGPTPipeline:
             rngs[i] = out[0]
             return out[1:]
 
-        clean: List[List] = []
-        for i in range(n_vid):
-            (erng,) = chain(i)
-            enc = self._encode(self.vae_params, jnp.asarray(pix[i], dtype),
-                               erng)
-            clean.append([enc[j] for j in range(len(pix[i]))])
+        # one stacked (n_vid, n_frames, hl, wl, c) device array, same
+        # rationale as _generate: no per-frame eager slicing per block
+        # (encodes stay per-video so each video's PRNG chain is exact)
+        clean_all = jnp.stack([
+            self._encode(self.vae_params, jnp.asarray(pix[i], dtype),
+                         chain(i)[0])
+            for i in range(n_vid)])
 
         outputs: List[List] = [[] for _ in range(n_vid)]
         out_latents: List[List] = [[] for _ in range(n_vid)]
@@ -465,13 +469,13 @@ class VideoGPTPipeline:
         kv_cache = None
         kv_frames = 0
         for k, gen_num in enumerate(gen_nums):
-            if len(clean[0]) + gen_num > max_frame_window:
-                drop = gen_num + len(clean[0]) - max_frame_window
-                clean = [cl[drop:] for cl in clean]
+            if int(clean_all.shape[1]) + gen_num > max_frame_window:
+                drop = gen_num + int(clean_all.shape[1]) - max_frame_window
+                clean_all = clean_all[:, drop:]
                 kv_cache, kv_frames = None, 0
             if k > 0 and clean_image_noise_level:
                 kv_cache, kv_frames = None, 0
-            n_clean = len(clean[0])
+            n_clean = int(clean_all.shape[1])
             layout_c = frame_block_inference_layout(
                 n_clean, gen_num, n_img, use_cfg=False, rows=n_vid)
             batch_c = Batch.from_layout(layout_c)
@@ -484,17 +488,16 @@ class VideoGPTPipeline:
                     0, gen_num, n_img, use_cfg=False, rows=n_vid)
                 batch_u = Batch.from_layout(layout_u)
 
-            cls_ = []
-            for i in range(n_vid):
-                cl = (jnp.stack(clean[i]) if n_clean
-                      else jnp.zeros((0, hl, wl, c), dtype))
-                if k > 0 and clean_image_noise_level:
-                    (nrng,) = chain(i)
-                    lvl = clean_image_noise_level
-                    cl = (1.0 - lvl) * cl + lvl * jax.random.normal(
-                        nrng, cl.shape, cl.dtype)
-                cls_.append(cl)
-            cl_all = jnp.concatenate(cls_, axis=0)
+            cls_all = clean_all
+            if k > 0 and clean_image_noise_level:
+                lvl = clean_image_noise_level
+                # per-video noise keys walk each video's own PRNG chain
+                noise = jnp.stack([
+                    jax.random.normal(chain(i)[0], clean_all.shape[1:],
+                                      clean_all.dtype)
+                    for i in range(n_vid)])
+                cls_all = (1.0 - lvl) * clean_all + lvl * noise
+            cl_all = cls_all.reshape((-1,) + cls_all.shape[2:])
 
             zs = []
             for i in range(n_vid):
@@ -511,8 +514,8 @@ class VideoGPTPipeline:
                 n_new = n_clean - kv_frames
                 if kv_cache is not None and 0 < n_new < n_clean:
                     seg = n_img + 2
-                    new_lat = jnp.concatenate(
-                        [cls_[i][-n_new:] for i in range(n_vid)], axis=0)
+                    new_lat = cls_all[:, -n_new:].reshape(
+                        (-1,) + cls_all.shape[2:])
                     kv_cache = self._extend_fn(
                         kv_frames * seg, n_new * seg, kv_frames)(
                         self.params, batch_c, new_lat, kv_cache)
@@ -534,8 +537,8 @@ class VideoGPTPipeline:
                 if n_clean:
                     pending.append((self._decode_u8(
                         self.vae_params,
-                        jnp.concatenate([jnp.stack(cl) for cl in clean],
-                                        axis=0)), n_clean))
+                        clean_all.reshape((-1,) + clean_all.shape[2:])),
+                        n_clean))
                 emit_initial = False
 
             recycled = samples
@@ -554,11 +557,14 @@ class VideoGPTPipeline:
                 pending.append((self._decode_u8(self.vae_params, samples),
                                 gen_num))
             for i in range(n_vid):
-                for j in range(gen_num):
-                    out_latents[i].append(samples[i * gen_num + j])
-                    clean[i].append(recycled[i * gen_num + j])
+                out_latents[i].append(samples[i * gen_num:(i + 1) * gen_num])
+            clean_all = jnp.concatenate(
+                [clean_all,
+                 recycled.reshape((n_vid, gen_num) + recycled.shape[1:])],
+                axis=1)
 
         _drain()
         if return_latents:
-            return [(outputs[i], out_latents[i]) for i in range(n_vid)]
+            return [(outputs[i], [l for blk in out_latents[i] for l in blk])
+                    for i in range(n_vid)]
         return outputs
