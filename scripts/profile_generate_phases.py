@@ -47,8 +47,11 @@ phases = []
 
 
 def _force(out):
-    leaf = jax.tree.leaves(out)[0]
-    np.asarray(leaf.reshape(-1)[:1])
+    # every callable is already compiled by the two prior passes, so
+    # block_until_ready is a true execution barrier here (its only failure
+    # mode on this backend is DURING remote compilation); a d2h reshape
+    # of a multi-GB KV cache would allocate a device copy and OOM
+    jax.block_until_ready(out)
     return out
 
 
