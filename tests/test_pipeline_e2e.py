@@ -147,3 +147,53 @@ def test_generate_batch_rejects_mixed_shapes(pipe):
     with pytest.raises(ValueError):
         pipe.generate_batch([frames_a, small], gen_nums=[1],
                             num_inference_steps=1, max_input_image_size=48)
+
+
+def test_window_slide_keeps_tail_and_reprefills(pipe):
+    """Sliding-window semantics (LVM/pipeline.py:418-422): when
+    n_clean + gen_num exceeds max_frame_window the OLDEST conditions are
+    dropped before the block runs, the cross-block KV cache is reset
+    (positions restart), and the initial emit round-trips only the KEPT
+    window. 3 conditions + gen_nums=[2, 2] under window 4 slides at BOTH
+    blocks: block 0 keeps conds [1:3], block 1 keeps the 2 frames block 0
+    generated — so the cache can never be extended and prefill runs per
+    block."""
+    from video_gpt_tpu.data.processor import (postprocess_frames,
+                                              preprocess_frames)
+    frames = _frames(3)
+    kw = dict(gen_nums=[2, 2], num_inference_steps=2,
+              img_guidance_scale=1.5, max_input_image_size=48,
+              max_frame_window=4, clean_image_noise_level=0.0, seed=17)
+    pipe.__dict__.pop("_block_fns", None)  # fresh jit-call ledger
+    out = pipe.generate(frames, **kw)
+    # 2 kept round-tripped conditions (NOT 3) + 2 + 2 generated
+    assert len(out) == 6
+    keys = list(pipe.__dict__.get("_block_fns", {}))
+    assert sum(1 for k in keys if k[0] == "prefill") >= 1
+    assert not any(k[0] == "extend" for k in keys), keys
+
+    # the emitted conditions are the VAE round-trip of the LAST two inputs:
+    # encode happens on all 3 frames BEFORE the slide (same rng draw), so
+    # the kept rows are exactly encode(all)[1:]
+    rng = jax.random.PRNGKey(17)
+    _, erng = jax.random.split(rng)
+    px = preprocess_frames(frames, 48)
+    lat = pipe._encode(pipe.vae_params, jnp.asarray(px, pipe.model.dtype),
+                       erng)
+    want = postprocess_frames(np.asarray(
+        pipe._decode_u8(pipe.vae_params, lat[1:])))
+    for got_im, want_im in zip(out[:2], want):
+        np.testing.assert_array_equal(np.asarray(got_im),
+                                      np.asarray(want_im))
+
+    # determinism across a repeat (jit functions now cached)
+    out2 = pipe.generate(frames, **kw)
+    assert all(np.array_equal(np.asarray(a), np.asarray(b))
+               for a, b in zip(out, out2))
+
+    # the batched path slides identically (clean_all[:, drop:])
+    got = pipe.generate_batch([frames], seeds=[17], **kw)
+    assert len(got) == 1 and len(got[0]) == 6
+    for a, b in zip(got[0], out):
+        np.testing.assert_allclose(np.asarray(a, np.int32),
+                                   np.asarray(b, np.int32), atol=1)
