@@ -32,7 +32,13 @@ from video_gpt_tpu.models.vae import AutoencoderKL, VAEConfig
 from video_gpt_tpu.models.video_gpt import Batch, VideoGPT
 from video_gpt_tpu.sampling.pipeline import VideoGPTPipeline
 
-H, W = 176, 320
+# NOTE: default geometry is the flagship 176x320 bucket (222-token frame
+# seg). bench_suite's plane.mp4 long-rollout leg preprocesses to 240x320
+# (302-token seg, ~1.9x the attention work) — set H=240 W=320 to profile
+# THAT leg's stages; mismatched geometry here once read as a phantom 6s
+# "overhead gap" (DESIGN.md item 40).
+H = int(os.environ.get("H", 176))
+W = int(os.environ.get("W", 320))
 STEPS = int(os.environ.get("STEPS", 10))
 REPS = int(os.environ.get("REPS", 3))
 _ival = os.environ.get("CFG_INTERVAL", "none")
