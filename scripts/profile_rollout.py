@@ -5,14 +5,20 @@ trunk MXU floor; this script times each jitted stage of the exact same
 rollout separately so the gap is attributable:
 
   vae_encode_8      8 condition frames -> latents
-  prefill_b0        clean-prefix prefill, 8 frames (1776 tokens)
-  denoise_b0        10-step CFG denoise scan, tail 5328, keys 7104
+  prefill_b0        clean-prefix prefill, 8 frames
+  denoise_b0        10-step CFG denoise scan over block 0
   vae_decode_24     24 latents -> pixels (runs twice per rollout)
-  extend_b1         24 recycled frames (5328 tokens) appended to the cache
-  denoise_b1        10-step CFG denoise scan, tail 5328, keys 12432
+  extend_b1         24 recycled frames appended to the cache
+  denoise_b1        10-step CFG denoise scan over block 1
   postprocess_24    device->host + uint8 conversion + PIL
 
-Env: STEPS (10), CFG_INTERVAL ("0.15,0.7" | "none"), REPS (3).
+Token counts depend on the geometry: at the default 176x320 (222-token
+frame seg) prefill is 1776 tokens, the tails 5328, keys 7104/12432; at
+H=240 W=320 (the plane.mp4 bench bucket, 302-token seg) they are 2416 /
+7248 / 9664 / 16912.
+
+Env: H (176), W (320), STEPS (10), CFG_INTERVAL ("0.15,0.7" | "none"),
+REPS (3).
 """
 import os
 import time
