@@ -197,3 +197,16 @@ def test_window_slide_keeps_tail_and_reprefills(pipe):
     for a, b in zip(got[0], out):
         np.testing.assert_allclose(np.asarray(a, np.int32),
                                    np.asarray(b, np.int32), atol=1)
+
+
+def test_empty_inputs_raise_and_overlong_block_slides_to_zero(pipe):
+    with pytest.raises(ValueError, match="at least one conditioning"):
+        pipe.generate([], gen_nums=[1], num_inference_steps=1,
+                      max_input_image_size=48)
+    # a block larger than the remaining window slides the conditions to
+    # ZERO (n_clean 1 + gen 5 > window 4 drops 2 >= n_clean) — the block
+    # then runs uncached (prefix 0) and still emits every frame
+    out = pipe.generate(_frames(1), gen_nums=[5], num_inference_steps=1,
+                        max_frame_window=4, img_guidance_scale=1.0,
+                        max_input_image_size=48, seed=2)
+    assert len(out) == 5

@@ -233,6 +233,12 @@ class VideoGPTPipeline:
         (scheduler.cfg_step_flags) — a serving work-reduction knob;
         ``None`` keeps guidance at every step (reference semantics).
         """
+        if not len(input_frames):
+            # the output geometry is derived from the conditioning frames
+            # (the reference likewise always conditions on >=1 frame,
+            # LVM/inference driver:84-87)
+            raise ValueError(
+                "generate() needs at least one conditioning frame")
         if img_guidance_scale == 1.0:
             use_img_guidance = False
         rng = jax.random.PRNGKey(0 if seed is None else seed)
