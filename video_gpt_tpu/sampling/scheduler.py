@@ -103,6 +103,44 @@ def cfg_step_flags(cfg: SchedulerConfig) -> Tuple[bool, ...]:
     return tuple(bool(lo <= s < hi) for s in grid[:cfg.num_steps])
 
 
+def step_kinds(cfg: SchedulerConfig) -> Tuple[str, ...]:
+    """Static per-step evaluation plan for the separate-CFG sampler.
+
+    Combines two work-reduction schedules (both compile-time static because
+    the sigma grid is static):
+
+    - ``cfg.cfg_interval`` (see :func:`cfg_step_flags`): steps whose sigma
+      falls outside the interval run the conditional context only
+      (``'cond'``).
+    - ``cfg.uncond_refresh = k``: among the guided steps, only every k-th
+      (counting from the first guided step) actually EVALUATES the
+      unconditional context (``'cfg'``); the steps in between reuse the
+      cached unconditional prediction as the guidance baseline
+      (``'cfg_reuse'``). This is feature-reuse caching restricted to the
+      uncond branch (the lever behind DeepCache/TeaCache-style serving,
+      Ma et al. 2023 arXiv:2312.00858, Liu et al. 2024 arXiv:2411.19108):
+      the unconditional prediction drifts slowly across adjacent sigmas,
+      and guidance only uses it as a direction baseline — the CONDITIONAL
+      trunk still runs at every step, so this is NOT a step-count
+      reduction. k=1 (default) evaluates uncond at every guided step
+      (reference semantics).
+    """
+    guided = cfg_step_flags(cfg)
+    k = max(int(getattr(cfg, "uncond_refresh", 1) or 1), 1)
+    kinds = []
+    since_eval = None  # guided steps since the last uncond evaluation
+    for g in guided:
+        if not g:
+            kinds.append("cond")
+        elif since_eval is None or since_eval >= k:
+            kinds.append("cfg")
+            since_eval = 1
+        else:
+            kinds.append("cfg_reuse")
+            since_eval += 1
+    return tuple(kinds)
+
+
 def sample_separate_cfg(
     z0: jax.Array,
     denoise_pair_fn: Callable[[jax.Array, jax.Array],
@@ -123,16 +161,18 @@ def sample_separate_cfg(
 
     With ``cfg.cfg_interval`` set, steps outside the interval evaluate ONLY
     the conditional context via ``denoise_cond_fn`` (falls back to taking
-    the cond half of the pair): the trajectory splits into contiguous
-    ``lax.scan`` segments per static flag run, so the skipped steps compile
-    no unconditional forward at all.
+    the cond half of the pair). With ``cfg.uncond_refresh = k > 1``, guided
+    steps between uncond refreshes reuse the cached unconditional prediction
+    (see :func:`step_kinds`). The trajectory splits into contiguous
+    ``lax.scan`` segments per static step kind, so skipped evaluations
+    compile no unconditional forward at all.
 
     z0: [N, hl, wl, C] — single copy, no duplicated halves.
     """
     sigmas = jnp.asarray(sigma_schedule(cfg.num_steps,
                                         cfg.time_shifting_factor,
                                         cfg.begin_time))
-    flags = cfg_step_flags(cfg)
+    kinds = step_kinds(cfg)
 
     def euler(z, i, pred):
         sigma = sigmas[i]
@@ -143,34 +183,51 @@ def sample_separate_cfg(
             v = pred
         return (zf + (sigmas[i + 1] - sigma) * v).astype(z.dtype)
 
-    def step_cfg(z, i):
-        t = jnp.full((z.shape[0],), sigmas[i], z.dtype)
-        cond, uncond = denoise_pair_fn(z, t)
+    def guide(z, i, cond, uncond):
         pred = (uncond.astype(jnp.float32)
                 + cfg_scale * (cond.astype(jnp.float32)
                                - uncond.astype(jnp.float32)))
-        return euler(z, i, pred), None
+        return euler(z, i, pred)
 
-    def step_cond(z, i):
-        t = jnp.full((z.shape[0],), sigmas[i], z.dtype)
+    def eval_cond(z, t):
         if denoise_cond_fn is not None:
-            cond = denoise_cond_fn(z, t)
-        else:
-            cond = denoise_pair_fn(z, t)[0]
-        return euler(z, i, cond.astype(jnp.float32)), None
+            return denoise_cond_fn(z, t)
+        return denoise_pair_fn(z, t)[0]
 
-    # contiguous runs of equal flags -> one scan segment each (at most 3
-    # segments for an interval schedule; exactly 1 when cfg_interval=None)
-    z = z0
+    # carry = (z, cached uncond prediction); the cache slot is dead weight
+    # on 'cond' segments but keeps the scan carry structure uniform
+    def step_cfg(carry, i):
+        z, _ = carry
+        t = jnp.full((z.shape[0],), sigmas[i], z.dtype)
+        cond, uncond = denoise_pair_fn(z, t)
+        return (guide(z, i, cond, uncond), uncond), None
+
+    def step_cfg_reuse(carry, i):
+        z, u_cache = carry
+        t = jnp.full((z.shape[0],), sigmas[i], z.dtype)
+        cond = eval_cond(z, t)
+        return (guide(z, i, cond, u_cache), u_cache), None
+
+    def step_cond(carry, i):
+        z, u_cache = carry
+        t = jnp.full((z.shape[0],), sigmas[i], z.dtype)
+        cond = eval_cond(z, t)
+        return (euler(z, i, cond.astype(jnp.float32)), u_cache), None
+
+    fns = {"cfg": step_cfg, "cfg_reuse": step_cfg_reuse, "cond": step_cond}
+    # contiguous runs of equal kinds -> one scan segment each (at most 3
+    # segments for an interval schedule; exactly 1 when cfg_interval=None
+    # and uncond_refresh=1)
+    carry = (z0, jnp.zeros_like(z0))
     start = 0
     while start < cfg.num_steps:
         end = start
-        while end < cfg.num_steps and flags[end] == flags[start]:
+        while end < cfg.num_steps and kinds[end] == kinds[start]:
             end += 1
-        fn = step_cfg if flags[start] else step_cond
-        z, _ = jax.lax.scan(fn, z, jnp.arange(start, end))
+        carry, _ = jax.lax.scan(fns[kinds[start]], carry,
+                                jnp.arange(start, end))
         start = end
-    return z
+    return carry[0]
 
 
 def add_noise_x1(x1: jax.Array, x0: jax.Array, t: jax.Array) -> jax.Array:
