@@ -210,3 +210,26 @@ def test_empty_inputs_raise_and_overlong_block_slides_to_zero(pipe):
                         max_frame_window=4, img_guidance_scale=1.0,
                         max_input_image_size=48, seed=2)
     assert len(out) == 5
+
+
+def test_uncond_refresh_wired_through_generate(pipe):
+    """generate(uncond_refresh=k) reaches the sampler: k=1 equals the
+    default bit-for-bit; k=2 over a mixed interval runs and differs from
+    always-refresh (the cached uncond prediction is actually reused)."""
+    frames = _frames(2)
+    # non-degenerate params (fixture head is zero-init)
+    leaves, treedef = jax.tree.flatten(pipe.params)
+    rngs = jax.random.split(jax.random.PRNGKey(9), len(leaves))
+    leaves = [l + 0.02 * jax.random.normal(r, l.shape, l.dtype)
+              for l, r in zip(leaves, rngs)]
+    pipe = VideoGPTPipeline(model=pipe.model,
+                            params=jax.tree.unflatten(treedef, leaves),
+                            vae=pipe.vae, vae_params=pipe.vae_params)
+    kw = dict(gen_nums=[1], num_inference_steps=4, img_guidance_scale=1.5,
+              max_input_image_size=48, seed=5, return_latents=True)
+    _, base = pipe.generate(frames, **kw)
+    _, k1 = pipe.generate(frames, uncond_refresh=1, **kw)
+    np.testing.assert_array_equal(np.asarray(base[0]), np.asarray(k1[0]))
+    _, k2 = pipe.generate(frames, uncond_refresh=2, **kw)
+    assert np.isfinite(np.asarray(k2[0], np.float32)).all()
+    assert not np.array_equal(np.asarray(base[0]), np.asarray(k2[0]))

@@ -199,3 +199,149 @@ def test_hybrid_batched_pair_matches_padded_pair():
                     use_cfg=True, cfg_scale=scale)[:N_GEN]
     np.testing.assert_allclose(np.asarray(hybrid), np.asarray(padded),
                                rtol=2e-5, atol=2e-5)
+
+
+def test_kinds_from_flags():
+    """step_kinds helper semantics: refresh period, and the cache is
+    invalidated when guidance is re-entered after a gap (never reuse an
+    uncond prediction cached many sigmas earlier)."""
+    from video_gpt_tpu.sampling.scheduler import _kinds_from_flags
+
+    T, F = True, False
+    assert _kinds_from_flags((T, T, T, T), 1) == ("cfg",) * 4
+    assert _kinds_from_flags((T, T, T, T, T), 2) == (
+        "cfg", "cfg_reuse", "cfg", "cfg_reuse", "cfg")
+    assert _kinds_from_flags((F, T, T, T, F), 3) == (
+        "cond", "cfg", "cfg_reuse", "cfg_reuse", "cond")
+    # non-contiguous guided region: first step after re-entry is 'cfg'
+    assert _kinds_from_flags((T, T, F, T, T), 2) == (
+        "cfg", "cfg_reuse", "cond", "cfg", "cfg_reuse")
+    assert _kinds_from_flags((T, F, T), 5) == ("cfg", "cond", "cfg")
+
+
+def test_uncond_refresh_matches_hand_rolled_loop():
+    """uncond_refresh=k: guided steps between refreshes reuse the cached
+    uncond prediction; matches a hand-rolled Euler loop with the same
+    reuse rule, and the pair fn is traced exactly once (one lax.switch
+    branch) even though kinds alternate every step."""
+    from video_gpt_tpu.sampling.scheduler import sigma_schedule, step_kinds
+
+    model, params, batch, z, clean = _setup()
+    scale = 1.6
+    lay_c = frame_block_inference_layout(N_CLEAN, N_GEN, N_IMG, use_cfg=False)
+    lay_u = frame_block_inference_layout(0, N_GEN, N_IMG, use_cfg=False)
+    batch_c, batch_u = Batch.from_layout(lay_c), Batch.from_layout(lay_u)
+
+    traces = {"pair": 0, "cond": 0}
+
+    def denoise_cond(zz, t):
+        traces["cond"] += 1
+        return model.apply(params, batch_c, zz, t, clean)
+
+    def denoise_pair(zz, t):
+        traces["pair"] += 1
+        return (model.apply(params, batch_c, zz, t, clean),
+                model.apply(params, batch_u, zz, t))
+
+    steps = 6
+    sched = SchedulerConfig(num_steps=steps, prediction_type="x1",
+                            uncond_refresh=2)
+    kinds = step_kinds(sched)
+    assert kinds == ("cfg", "cfg_reuse") * 3
+    out = sample_separate_cfg(z, denoise_pair, sched, cfg_scale=scale,
+                              denoise_cond_fn=denoise_cond)
+    # O(1) traces in num_steps (the old per-run segmentation compiled ~steps
+    # length-1 scans each embedding a full model forward)
+    assert traces["pair"] == 1
+    assert traces["cond"] == 1
+
+    sig = sigma_schedule(steps)
+    zz = z
+    u_cache = None
+    for i in range(steps):
+        t = jnp.full((zz.shape[0],), sig[i], zz.dtype)
+        cond = model.apply(params, batch_c, zz, t, clean)
+        if kinds[i] == "cfg":
+            u_cache = model.apply(params, batch_u, zz, t).astype(zz.dtype)
+        pred = (u_cache.astype(jnp.float32)
+                + scale * (cond.astype(jnp.float32)
+                           - u_cache.astype(jnp.float32)))
+        v = (pred - zz.astype(jnp.float32)) / (1.0 - sig[i])
+        zz = (zz.astype(jnp.float32) + (sig[i + 1] - sig[i]) * v).astype(
+            zz.dtype)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(zz),
+                               rtol=2e-5, atol=2e-5)
+
+
+def test_uncond_refresh_one_is_reference_semantics():
+    """k=1 (the default) is bit-identical to the plain separate-CFG path."""
+    model, params, batch, z, clean = _setup()
+    scale = 1.5
+    lay_c = frame_block_inference_layout(N_CLEAN, N_GEN, N_IMG, use_cfg=False)
+    lay_u = frame_block_inference_layout(0, N_GEN, N_IMG, use_cfg=False)
+    batch_c, batch_u = Batch.from_layout(lay_c), Batch.from_layout(lay_u)
+
+    def denoise_pair(zz, t):
+        return (model.apply(params, batch_c, zz, t, clean),
+                model.apply(params, batch_u, zz, t))
+
+    base = sample_separate_cfg(
+        z, denoise_pair, SchedulerConfig(num_steps=3, prediction_type="x1"),
+        cfg_scale=scale)
+    k1 = sample_separate_cfg(
+        z, denoise_pair,
+        SchedulerConfig(num_steps=3, prediction_type="x1", uncond_refresh=1),
+        cfg_scale=scale)
+    np.testing.assert_array_equal(np.asarray(base), np.asarray(k1))
+
+
+def test_uncond_refresh_with_interval_and_fp32_preds():
+    """Combined interval x refresh schedule through the switch path, with a
+    pair fn whose outputs are fp32 while z0 is bf16 — the carry structure
+    must not depend on the prediction dtype."""
+    from video_gpt_tpu.sampling.scheduler import sigma_schedule, step_kinds
+
+    model, params, batch, z, clean = _setup()
+    scale = 1.4
+    lay_c = frame_block_inference_layout(N_CLEAN, N_GEN, N_IMG, use_cfg=False)
+    lay_u = frame_block_inference_layout(0, N_GEN, N_IMG, use_cfg=False)
+    batch_c, batch_u = Batch.from_layout(lay_c), Batch.from_layout(lay_u)
+    zb = z.astype(jnp.bfloat16)
+
+    def denoise_cond(zz, t):
+        return model.apply(params, batch_c, zz.astype(jnp.float32),
+                           t.astype(jnp.float32), clean)  # fp32 out
+
+    def denoise_pair(zz, t):
+        return (denoise_cond(zz, t),
+                model.apply(params, batch_u, zz.astype(jnp.float32),
+                            t.astype(jnp.float32)))
+
+    steps = 8
+    sched = SchedulerConfig(num_steps=steps, prediction_type="x1",
+                            cfg_interval=(0.1, 0.8), uncond_refresh=2)
+    kinds = step_kinds(sched)
+    assert "cond" in kinds and "cfg" in kinds and "cfg_reuse" in kinds
+    out = sample_separate_cfg(zb, denoise_pair, sched, cfg_scale=scale,
+                              denoise_cond_fn=denoise_cond)
+    assert out.dtype == jnp.bfloat16
+
+    sig = sigma_schedule(steps)
+    zz = zb
+    u_cache = None
+    for i in range(steps):
+        t = jnp.full((zz.shape[0],), sig[i], zz.dtype)
+        cond = denoise_cond(zz, t).astype(jnp.float32)
+        if kinds[i] == "cfg":
+            u_cache = denoise_pair(zz, t)[1].astype(zb.dtype)
+        if kinds[i] == "cond":
+            pred = cond
+        else:
+            pred = (u_cache.astype(jnp.float32)
+                    + scale * (cond - u_cache.astype(jnp.float32)))
+        v = (pred - zz.astype(jnp.float32)) / (1.0 - sig[i])
+        zz = (zz.astype(jnp.float32) + (sig[i + 1] - sig[i]) * v).astype(
+            zz.dtype)
+    np.testing.assert_allclose(np.asarray(out, np.float32),
+                               np.asarray(zz, np.float32),
+                               rtol=2e-2, atol=2e-2)

@@ -188,3 +188,36 @@ def test_trainer_lora_smoke(tmp_path):
     # state.params is the adapter tree, not full weights
     assert "lora_a" in str(jax.tree_util.tree_structure(state.params))
     assert int(state.step) == 2
+
+
+def test_cosine_lr_horizon_from_max_steps():
+    """The cosine schedule decays over exactly the run's step budget
+    (VERDICT r3: the old horizon was invented from epochs*1000)."""
+    from video_gpt_tpu.training.train_state import lr_schedule
+    cfg = TrainConfig(lr=1e-4, lr_scheduler="cosine", lr_warmup_steps=10,
+                      max_steps=100)
+    sched = lr_schedule(cfg)
+    assert float(sched(10)) == pytest.approx(1e-4)        # warmup peak
+    assert float(sched(100)) == pytest.approx(0.0, abs=1e-12)  # horizon end
+    mid = float(sched(55))
+    assert 0.0 < mid < 1e-4
+    # cosine without a horizon is refused, not silently mis-shaped
+    with pytest.raises(ValueError, match="max_steps"):
+        lr_schedule(TrainConfig(lr_scheduler="cosine"))
+
+
+def test_trainer_run_binds_max_steps(tmp_path):
+    """Trainer.run(max_steps) feeds the cosine horizon (cli --max_steps)."""
+    from video_gpt_tpu.models.vae import VAEConfig
+    from video_gpt_tpu.training.trainer import Trainer
+    cfg = TrainConfig(frame_num=2, frame_block_scheme="frame_block",
+                      mixed_precision="no", lr=1e-3, lr_scheduler="cosine",
+                      lr_warmup_steps=1, log_every=1, ckpt_every=1000,
+                      results_dir=str(tmp_path))
+    t = Trainer(ModelConfig.tiny(attn_impl="reference",
+                                 pos_embed_max_size=192), cfg,
+                "/root/reference/vids", vae_cfg=VAEConfig.tiny(),
+                target_resolution=(48, 64))
+    state = t.run(2)
+    assert t.cfg.max_steps == 2
+    assert int(state.step) == 2

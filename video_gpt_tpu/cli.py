@@ -346,6 +346,7 @@ def cmd_generate(args):
         vae_roundtrip_recycle=args.vae_roundtrip_recycle,
         cfg_interval=(tuple(args.cfg_interval)
                       if args.cfg_interval else None),
+        uncond_refresh=args.uncond_refresh,
     )
 
     def save(k, path, images):
@@ -687,6 +688,12 @@ def build_parser() -> argparse.ArgumentParser:
                    help="apply guidance only where sigma in [LO, HI); "
                         "skips the uncond forward elsewhere (arXiv:"
                         "2404.07724). Default: guidance at every step")
+    g.add_argument("--uncond_refresh", type=int, default=1,
+                   help="evaluate the uncond context only every k-th guided "
+                        "step, reusing the cached uncond prediction in "
+                        "between (DeepCache-style, arXiv:2312.00858). "
+                        "Default 1: evaluate every guided step (reference "
+                        "semantics); drift: scripts/cfg_drift.py")
     g.add_argument("--mesh_seq", type=int, default=1,
                    help="sequence-parallel serving over this many devices "
                         "(Ulysses; reference inference uses SP=4)")

@@ -89,6 +89,12 @@ class SchedulerConfig:
     # every step (reference semantics). Serving work-reduction knob: the
     # uncond row costs ~47% of each denoise step at flagship shapes.
     cfg_interval: Optional[Tuple[float, float]] = None
+    # among the guided steps, evaluate the unconditional context only every
+    # k-th step and REUSE the cached uncond prediction in between
+    # (DeepCache/TeaCache-style feature reuse restricted to the uncond
+    # branch; scheduler.step_kinds). 1 = evaluate at every guided step
+    # (reference semantics). Drift measured by scripts/cfg_drift.py.
+    uncond_refresh: int = 1
 
 
 @dataclasses.dataclass(frozen=True)
@@ -159,6 +165,12 @@ class TrainConfig:
     prefetch_depth: int = 2
     # run control
     epochs: int = 1400
+    # total optimization steps of the run — the cosine decay horizon.
+    # Trainer.run / ImageGenTrainer.run bind it from their max_steps
+    # argument when unset; 'cosine' refuses to run without it (a horizon
+    # invented from anything else silently mis-shapes the schedule).
+    # Reference knob surface: train_x1_stage1_noiseinput.py:506-516.
+    max_steps: Optional[int] = None
     log_every: int = 100
     ckpt_every: int = 20000
     auto_resume: bool = True

@@ -135,7 +135,8 @@ class VideoClipDataset:
         self.min_side = min_side
         self.max_aspect = max_aspect
         self.max_retry = max_retry
-        self._rng = random.Random(seed + shard_index)
+        self.seed = seed
+        self.shard_index = shard_index
 
         min_frames = (frame_num - 1) * frame_interval + 1
         data = list_videos(source, min_frames=min_frames) * data_reuse
@@ -154,7 +155,7 @@ class VideoClipDataset:
     def __len__(self) -> int:
         return len(self.data)
 
-    def _read_clip(self, path: str) -> np.ndarray:
+    def _read_clip(self, path: str, rng: random.Random) -> np.ndarray:
         cap = cv2.VideoCapture(path)
         try:
             total = int(cap.get(cv2.CAP_PROP_FRAME_COUNT))
@@ -166,13 +167,13 @@ class VideoClipDataset:
                     raise ValueError(f"too few frames: {total}")
                 if self.interval_bound is not None:
                     max_iv = min(max_iv, self.interval_bound)
-                interval = self._rng.randint(self.frame_interval, max_iv)
+                interval = rng.randint(self.frame_interval, max_iv)
             else:
                 interval = self.frame_interval
             max_start = total - (self.frame_num - 1) * interval
             if max_start <= 0:
                 raise ValueError(f"too few frames: {total}")
-            start = self._rng.randint(0, max_start - 1)
+            start = rng.randint(0, max_start - 1)
             frames = []
             for i in range(self.frame_num):
                 cap.set(cv2.CAP_PROP_POS_FRAMES, start + i * interval)
@@ -189,20 +190,43 @@ class VideoClipDataset:
             raise ValueError(f"extreme aspect ratio: {w}x{h}")
         return np.stack(frames)
 
+    def _sample_rng(self, epoch: int, vid: int, attempt: int
+                    ) -> random.Random:
+        """All of a sample's randomness (start, stride, retry re-draw,
+        block partition) derives from (seed, shard, epoch, index, attempt)
+        — the same pure-function scheme as data/image_text.py:114-120."""
+        seed_int = int(np.random.SeedSequence(
+            [self.seed, self.shard_index, epoch, vid, attempt])
+            .generate_state(1)[0])
+        return random.Random(seed_int)
+
     def sample(self, index: int) -> ClipSample:
-        """Sample with retry-on-bad-data (LVM/train_helper/data.py:220-231)."""
-        for _ in range(self.max_retry):
+        """Sample with retry-on-bad-data (LVM/train_helper/data.py:220-231).
+
+        Pure function of (dataset seed, shard, index): resumed runs and any
+        worker-thread count draw bit-identical clips — the reference's
+        shared stateful RNG makes resume replay different clips and makes
+        multi-worker draw order scheduler-dependent
+        (LVM/train_helper/data.py:174-231). ``index`` may exceed the
+        dataset length; each wraparound (epoch) re-rolls the clip window
+        and block partition, so revisits are fresh draws, not replays.
+        """
+        epoch, vid0 = divmod(index, len(self.data))
+        for attempt in range(self.max_retry):
+            rng = self._sample_rng(epoch, vid0, attempt)
+            # attempt 0 reads the indexed video; retries re-draw uniformly
+            vid = vid0 if attempt == 0 else rng.randrange(len(self.data))
             try:
-                frames = self._read_clip(self.data[index % len(self.data)])
+                frames = self._read_clip(self.data[vid], rng)
                 break
             except Exception:
-                index = self._rng.randrange(len(self.data))
+                continue
         else:
             raise RuntimeError("too many unreadable videos")
         th, tw = self.target_resolution
         pixels = preprocess_to_resolution(frames, th, tw)
         if self.scheme == "frame_block":
-            blocks = random_block_partition(self.frame_num, self._rng)
+            blocks = random_block_partition(self.frame_num, rng)
         else:
             blocks = (1,) * self.frame_num
         return ClipSample(pixels=pixels, frame_blocks=blocks)

@@ -126,7 +126,8 @@ class VideoGPTPipeline:
     def _denoise_fn(self, tail_len: int, num_steps: int, time_shift: float,
                     prediction_type: str, use_cfg: bool, cfg_scale: float,
                     columnar: bool, cached: bool,
-                    cfg_interval: Optional[tuple] = None):
+                    cfg_interval: Optional[tuple] = None,
+                    uncond_refresh: int = 1):
         """The denoise scan per sequence signature.
 
         With guidance the CFG pair runs SEPARATELY at its natural lengths
@@ -142,7 +143,8 @@ class VideoGPTPipeline:
         sched = SchedulerConfig(num_steps=num_steps,
                                 time_shifting_factor=time_shift,
                                 prediction_type=prediction_type,
-                                cfg_interval=cfg_interval)
+                                cfg_interval=cfg_interval,
+                                uncond_refresh=uncond_refresh)
         model = self.model
         from ..models.video_gpt import decode_mask, maybe_bias
 
@@ -185,7 +187,8 @@ class VideoGPTPipeline:
             return fn
         return self._jit_cached(
             ("denoise", tail_len, num_steps, time_shift, prediction_type,
-             use_cfg, cfg_scale, columnar, cached, cfg_interval), build)
+             use_cfg, cfg_scale, columnar, cached, cfg_interval,
+             uncond_refresh), build)
 
     # ---- public API ----------------------------------------------------------
 
@@ -213,6 +216,7 @@ class VideoGPTPipeline:
         return_latents: bool = False,
         vae_roundtrip_recycle: bool = False,
         cfg_interval: Optional[Tuple[float, float]] = None,
+        uncond_refresh: int = 1,
     ):
         """Condition on ``input_frames``, roll out ``gen_nums`` clips.
 
@@ -232,6 +236,11 @@ class VideoGPTPipeline:
         ``[lo, hi)`` and skips the unconditional forward elsewhere
         (scheduler.cfg_step_flags) — a serving work-reduction knob;
         ``None`` keeps guidance at every step (reference semantics).
+
+        ``uncond_refresh=k`` evaluates the unconditional context only every
+        k-th guided step and reuses the cached uncond prediction in between
+        (scheduler.step_kinds); 1 = reference semantics. Drift of both
+        knobs is measured by scripts/cfg_drift.py.
         """
         if not len(input_frames):
             # the output geometry is derived from the conditioning frames
@@ -336,7 +345,8 @@ class VideoGPTPipeline:
                                   time_shifting_factor, prediction_type,
                                   use_img_guidance, img_guidance_scale,
                                   columnar, cached=prefix > 0,
-                                  cfg_interval=cfg_interval)
+                                  cfg_interval=cfg_interval,
+                                  uncond_refresh=uncond_refresh)
             samples = fn(self.params, batch_c, batch_u, kv_cache, z)
             # previous block's frames: dispatched before this block's
             # denoise, converted after — the host PIL work rides under it
@@ -408,6 +418,7 @@ class VideoGPTPipeline:
         return_latents: bool = False,
         vae_roundtrip_recycle: bool = False,
         cfg_interval: Optional[Tuple[float, float]] = None,
+        uncond_refresh: int = 1,
     ):
         n_vid = len(inputs_list)
         if n_vid == 1 and seeds is None:
@@ -416,7 +427,7 @@ class VideoGPTPipeline:
                 img_guidance_scale, use_img_guidance, max_input_image_size,
                 max_frame_window, clean_image_noise_level,
                 time_shifting_factor, prediction_type, seed, return_latents,
-                vae_roundtrip_recycle, cfg_interval)
+                vae_roundtrip_recycle, cfg_interval, uncond_refresh)
             return [out]
         if img_guidance_scale == 1.0:
             use_img_guidance = False
@@ -535,7 +546,8 @@ class VideoGPTPipeline:
                                   time_shifting_factor, prediction_type,
                                   use_img_guidance, img_guidance_scale,
                                   columnar, cached=prefix > 0,
-                                  cfg_interval=cfg_interval)
+                                  cfg_interval=cfg_interval,
+                                  uncond_refresh=uncond_refresh)
             samples = fn(self.params, batch_c, batch_u, kv_cache, z)
             _drain()
 

@@ -125,13 +125,20 @@ def step_kinds(cfg: SchedulerConfig) -> Tuple[str, ...]:
       reduction. k=1 (default) evaluates uncond at every guided step
       (reference semantics).
     """
-    guided = cfg_step_flags(cfg)
-    k = max(int(getattr(cfg, "uncond_refresh", 1) or 1), 1)
+    return _kinds_from_flags(cfg_step_flags(cfg), cfg.uncond_refresh)
+
+
+def _kinds_from_flags(guided: Tuple[bool, ...], k: int) -> Tuple[str, ...]:
+    k = max(int(k or 1), 1)
     kinds = []
     since_eval = None  # guided steps since the last uncond evaluation
     for g in guided:
         if not g:
             kinds.append("cond")
+            # leaving the guided region invalidates the cache: the first
+            # step after RE-ENTERING guidance must evaluate fresh, never
+            # reuse an uncond prediction cached many sigmas earlier
+            since_eval = None
         elif since_eval is None or since_eval >= k:
             kinds.append("cfg")
             since_eval = 1
@@ -163,9 +170,14 @@ def sample_separate_cfg(
     the conditional context via ``denoise_cond_fn`` (falls back to taking
     the cond half of the pair). With ``cfg.uncond_refresh = k > 1``, guided
     steps between uncond refreshes reuse the cached unconditional prediction
-    (see :func:`step_kinds`). The trajectory splits into contiguous
-    ``lax.scan`` segments per static step kind, so skipped evaluations
-    compile no unconditional forward at all.
+    (see :func:`step_kinds`).
+
+    Compilation structure: when the static kind sequence has at most 3
+    contiguous runs (every k=1 schedule), each run is one ``lax.scan``
+    segment; otherwise (k>1 alternates cfg/cfg_reuse) ONE scan over all
+    steps dispatches per step via ``lax.switch`` on the static kind array —
+    segment count and model-forward trace count stay O(1) in ``num_steps``
+    either way, and kinds that never occur compile no forward at all.
 
     z0: [N, hl, wl, C] — single copy, no duplicated halves.
     """
@@ -195,12 +207,15 @@ def sample_separate_cfg(
         return denoise_pair_fn(z, t)[0]
 
     # carry = (z, cached uncond prediction); the cache slot is dead weight
-    # on 'cond' segments but keeps the scan carry structure uniform
+    # on 'cond' segments but keeps the scan carry structure uniform. The
+    # cached uncond is stored in z0's dtype so the carry structure never
+    # depends on the pair fn's output dtype (guide() upcasts to fp32 when
+    # consuming it anyway).
     def step_cfg(carry, i):
         z, _ = carry
         t = jnp.full((z.shape[0],), sigmas[i], z.dtype)
         cond, uncond = denoise_pair_fn(z, t)
-        return (guide(z, i, cond, uncond), uncond), None
+        return (guide(z, i, cond, uncond), uncond.astype(z0.dtype)), None
 
     def step_cfg_reuse(carry, i):
         z, u_cache = carry
@@ -215,18 +230,35 @@ def sample_separate_cfg(
         return (euler(z, i, cond.astype(jnp.float32)), u_cache), None
 
     fns = {"cfg": step_cfg, "cfg_reuse": step_cfg_reuse, "cond": step_cond}
-    # contiguous runs of equal kinds -> one scan segment each (at most 3
-    # segments for an interval schedule; exactly 1 when cfg_interval=None
-    # and uncond_refresh=1)
     carry = (z0, jnp.zeros_like(z0))
+    runs = []  # contiguous runs of equal kinds: (kind, start, end)
     start = 0
     while start < cfg.num_steps:
         end = start
         while end < cfg.num_steps and kinds[end] == kinds[start]:
             end += 1
-        carry, _ = jax.lax.scan(fns[kinds[start]], carry,
-                                jnp.arange(start, end))
+        runs.append((kinds[start], start, end))
         start = end
+    if len(runs) <= 3:
+        # one scan segment per run (at most 3 for an interval schedule;
+        # exactly 1 when cfg_interval=None and uncond_refresh=1)
+        for kind, s, e in runs:
+            carry, _ = jax.lax.scan(fns[kind], carry, jnp.arange(s, e))
+    else:
+        # uncond_refresh>1 alternates cfg/cfg_reuse: per-run scans would
+        # compile ~num_steps length-1 segments each embedding a full model
+        # trace. Instead: ONE scan, lax.switch on the static per-step kind
+        # id — each occurring kind's body is traced exactly once, and the
+        # TPU executes only the selected branch per step.
+        present = sorted({k for k, _, _ in runs})
+        branches = [
+            (lambda fn: lambda c, i: fn(c, i)[0])(fns[k]) for k in present]
+        kind_ids = jnp.asarray([present.index(k) for k in kinds], jnp.int32)
+
+        def body(c, i):
+            return jax.lax.switch(kind_ids[i], branches, c, i), None
+
+        carry, _ = jax.lax.scan(body, carry, jnp.arange(cfg.num_steps))
     return carry[0]
 
 

@@ -230,6 +230,11 @@ class ImageGenTrainer:
         return self._place_state(state)
 
     def run(self, max_steps: int, log_writer=None) -> TrainState:
+        if self.cfg.max_steps is None:
+            # bind the run's step budget before the optimizer is built
+            # (the cosine schedule decays over exactly this horizon)
+            import dataclasses
+            self.cfg = dataclasses.replace(self.cfg, max_steps=max_steps)
         import contextlib
         with contextlib.ExitStack() as stack:
             if self.mesh is not None:

@@ -39,8 +39,17 @@ def lr_schedule(cfg: TrainConfig) -> optax.Schedule:
             [optax.linear_schedule(0.0, cfg.lr, cfg.lr_warmup_steps),
              optax.constant_schedule(cfg.lr)], [cfg.lr_warmup_steps])
     if cfg.lr_scheduler == "cosine":
+        # decay over the RUN's step budget (Trainer.run binds cfg.max_steps
+        # from its max_steps argument) — any other horizon silently
+        # mis-shapes the schedule
+        if not cfg.max_steps:
+            raise ValueError(
+                "lr_scheduler='cosine' needs TrainConfig.max_steps (the "
+                "decay horizon); Trainer.run sets it from its max_steps "
+                "argument")
         return optax.warmup_cosine_decay_schedule(
-            0.0, cfg.lr, cfg.lr_warmup_steps, max(cfg.epochs * 1000, 1))
+            0.0, cfg.lr, cfg.lr_warmup_steps,
+            max(cfg.max_steps, cfg.lr_warmup_steps + 1))
     raise ValueError(cfg.lr_scheduler)
 
 

@@ -288,6 +288,11 @@ class Trainer:
     # ---- loop --------------------------------------------------------------
 
     def run(self, max_steps: int, log_writer=None) -> TrainState:
+        if self.cfg.max_steps is None:
+            # bind the run's step budget BEFORE the optimizer is built:
+            # the cosine schedule decays over exactly this horizon
+            import dataclasses
+            self.cfg = dataclasses.replace(self.cfg, max_steps=max_steps)
         cfg = self.cfg
         os.makedirs(cfg.results_dir, exist_ok=True)
         with open(os.path.join(cfg.results_dir, "train_args.json"), "w") as f:
@@ -321,9 +326,11 @@ class Trainer:
 
         def make_batch(idx: int):
             rows = self._batch_rows
-            samples = [self.dataset.sample(
-                (idx * rows + i) % len(self.dataset))
-                for i in range(rows)]
+            # raw (un-modulo'd) index: the dataset folds the wraparound in
+            # as an epoch term so revisits re-roll the clip window while
+            # staying a pure function of (seed, shard, index)
+            samples = [self.dataset.sample(idx * rows + i)
+                       for i in range(rows)]
             return collate(samples, n_img, sp_multiple=self._sp,
                            cls_weight=cfg.cls_weight)
 
