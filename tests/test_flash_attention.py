@@ -10,6 +10,8 @@ from video_gpt_tpu.layout import (frame_block_inference_layout, RowSpec,
 from video_gpt_tpu.ops.attention import AttnMeta, attention_bias, mha_reference
 from video_gpt_tpu.ops.flash_attention import flash_mha
 
+pytestmark = pytest.mark.slow
+
 
 def _rand_qkv(rng, b, lq, lk, h, hkv, d):
     ks = jax.random.split(rng, 3)

@@ -18,6 +18,8 @@ from video_gpt_tpu.models.vae import AutoencoderKL, VAEConfig
 from video_gpt_tpu.models.video_gpt import Batch, VideoGPT
 from video_gpt_tpu.tokens import DEFAULT_TOKEN_IDS as IDS
 
+pytestmark = pytest.mark.slow
+
 torch = pytest.importorskip("torch")
 
 
@@ -138,3 +140,100 @@ def test_image_gen_pipeline_smoke():
     with _pytest.raises(ValueError):
         pipe(["a", "b"], input_images=["x.png"], height=64, width=64,
              num_inference_steps=1)
+
+
+def test_single_shot_layout_heterogeneous_regions_match_reference(ref):
+    """Two input images of DIFFERENT sizes in one prompt: each region takes
+    its own token length (OmniGen/processor.py:63-91,215-233). Golden mask/
+    positions/ids vs the reference collator (VERDICT r3 ask #6)."""
+    n_a, n_b, n_out = 4, 16, 16  # 32x32 and 64x64 inputs, 64x64 output
+    cond_ids = ([11, 12] + [0] * n_a + [13] + [0] * n_b + [14])
+    regions = [(2, 2 + n_a), (2 + n_a + 1, 2 + n_a + 1 + n_b)]
+    neg_ids = [21, 22, 23]
+    inputs = [
+        {"input_ids": cond_ids,
+         "pixel_values": [torch.zeros(1, 3, 32, 32),
+                          torch.zeros(1, 3, 64, 64)],
+         "image_sizes": [list(r) for r in regions]},
+        {"input_ids": neg_ids, "pixel_values": None, "image_sizes": None},
+    ]
+    coll = ref.Collator(pad_token_id=IDS.pad, sequence_parallel_size=1)
+    (pad_ids, pos_ids, mask, _padding, _pv, img_sizes
+     ) = coll.process_mllm_input(inputs, [[64, 64], [64, 64]])
+    mask = coll.adjust_attention_for_input_images(mask, img_sizes)
+
+    rows = [TextRow(cond_ids, regions), TextRow(neg_ids, [])]
+    layout = single_shot_layout(rows, n_out=n_out)  # sizes from the rows
+    prefix = layout.length - (n_out + 1)
+    np.testing.assert_array_equal(layout.input_ids[:, :prefix],
+                                  pad_ids.numpy())
+    np.testing.assert_array_equal(layout.pos_ids, pos_ids.numpy())
+    np.testing.assert_array_equal(render_dense_mask(layout),
+                                  mask.numpy().astype(bool))
+    # clean_src walks the flat patch stream region-by-region
+    srcs = layout.clean_src[0][layout.clean_src[0] >= 0]
+    np.testing.assert_array_equal(srcs, np.arange(n_a + n_b))
+
+
+def _tiny_pipe():
+    cfg = ModelConfig.tiny(attn_impl="reference", pos_embed_max_size=192)
+    model = VideoGPT(cfg, dtype=jnp.float32)
+    vae = AutoencoderKL(VAEConfig.tiny(), dtype=jnp.float32)
+    proc = ImageGenProcessor(StubTokenizer(), max_image_size=64)
+    from PIL import Image
+    row, _ = proc.row("a cat <img><|image_1|></img>",
+                      [Image.new("RGB", (64, 64))])
+    layout = single_shot_layout([row, row], n_out=16, n_region=16)
+    z = jnp.zeros((2, 8, 8, 4))
+    cl = jnp.zeros((1, 8, 8, 4))
+    params = model.init(jax.random.PRNGKey(0), Batch.from_layout(layout), z,
+                        jnp.zeros((2,)), cl)
+    vparams = vae.init(jax.random.PRNGKey(1), jnp.zeros((1, 64, 64, 3)),
+                       jax.random.PRNGKey(2), True)
+    return ImageGenPipeline(model=model, params=params, vae=vae,
+                            vae_params=vparams, processor=proc)
+
+
+def test_separate_cfg_matches_padded_batch():
+    """separate_cfg_infer=True (the default; OmniGen/pipeline.py:147)
+    equals the padded 2/3-row batch numerically — the guidance contexts
+    just run at their natural lengths (VERDICT r3 ask #5)."""
+    from PIL import Image
+    pipe = _tiny_pipe()
+    img = Image.new("RGB", (64, 64), (128, 30, 200))
+
+    # 3-way CFG (text + image guidance)
+    kw = dict(input_images=[img], height=64, width=64,
+              num_inference_steps=3, guidance_scale=2.0,
+              img_guidance_scale=1.5, max_input_image_size=64, seed=0,
+              output_type="pt")
+    sep = pipe("a cat <img><|image_1|></img>", separate_cfg_infer=True, **kw)
+    pad = pipe("a cat <img><|image_1|></img>", separate_cfg_infer=False,
+               **kw)
+    np.testing.assert_allclose(sep, pad, atol=2e-5, rtol=2e-5)
+
+    # 2-way CFG (text only)
+    kw2 = dict(height=64, width=64, num_inference_steps=2,
+               guidance_scale=2.5, seed=0, output_type="pt")
+    sep2 = pipe("a dog", separate_cfg_infer=True, **kw2)
+    pad2 = pipe("a dog", separate_cfg_infer=False, **kw2)
+    np.testing.assert_allclose(sep2, pad2, atol=2e-5, rtol=2e-5)
+
+
+def test_pipeline_heterogeneous_input_sizes():
+    """Mixed-size editing prompt end-to-end: a 64x64 and a 32x32 input in
+    one prompt, 3-way CFG, both separate and padded paths."""
+    from PIL import Image
+    pipe = _tiny_pipe()
+    imgs = [Image.new("RGB", (64, 64), (128, 30, 200)),
+            Image.new("RGB", (32, 32), (20, 200, 90))]
+    kw = dict(input_images=imgs, height=64, width=64,
+              num_inference_steps=2, guidance_scale=2.0,
+              img_guidance_scale=1.5, max_input_image_size=64, seed=3,
+              output_type="pt")
+    prompt = "blend <img><|image_1|></img> with <img><|image_2|></img>"
+    sep = pipe(prompt, separate_cfg_infer=True, **kw)
+    assert sep.shape == (1, 64, 64, 3)
+    assert np.isfinite(sep).all()
+    pad = pipe(prompt, separate_cfg_infer=False, **kw)
+    np.testing.assert_allclose(sep, pad, atol=2e-5, rtol=2e-5)

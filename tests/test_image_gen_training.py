@@ -17,6 +17,8 @@ from video_gpt_tpu.data.image_text import (CFG_PROMPT, ImageTextDataset,
 from video_gpt_tpu.image_gen import ImageGenProcessor
 from video_gpt_tpu.models.vae import VAEConfig
 
+pytestmark = pytest.mark.slow
+
 
 class StubTokenizer:
     class _Out:

@@ -15,6 +15,9 @@ import jax.numpy as jnp
 from video_gpt_tpu.config import ModelConfig
 from video_gpt_tpu.layout import frame_block_inference_layout
 from video_gpt_tpu.models.video_gpt import Batch, VideoGPT
+import pytest
+
+pytestmark = pytest.mark.slow
 
 N_IMG, HL, WL, C = 4, 4, 4, 4
 

@@ -1,5 +1,6 @@
 """LoRA adapters: identity at init, targeted placement, frozen-base training."""
 import numpy as np
+import pytest
 
 import jax
 import jax.numpy as jnp
@@ -13,6 +14,8 @@ from video_gpt_tpu.training.lora import apply_lora, init_lora, merge_lora
 from video_gpt_tpu.training.train_state import (TrainState,
                                                 make_lora_train_step,
                                                 make_optimizer)
+
+pytestmark = pytest.mark.slow
 
 CFG = ModelConfig.tiny(attn_impl="reference")
 

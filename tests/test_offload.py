@@ -26,6 +26,8 @@ from video_gpt_tpu.training.train_state import (init_train_state,
 
 from test_training import _inputs
 
+pytestmark = pytest.mark.slow
+
 CFG = ModelConfig.tiny(attn_impl="reference")
 
 

@@ -16,6 +16,8 @@ from video_gpt_tpu.models.vae import AutoencoderKL, VAEConfig
 from video_gpt_tpu.models.video_gpt import Batch, VideoGPT
 from video_gpt_tpu.sampling.pipeline import VideoGPTPipeline
 
+pytestmark = pytest.mark.slow
+
 
 @pytest.fixture(scope="module")
 def pipe():

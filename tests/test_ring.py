@@ -13,6 +13,8 @@ from video_gpt_tpu.ops.attention import AttnMeta, attend
 from video_gpt_tpu.layout import RowSpec, build_layout
 from video_gpt_tpu.parallel.ring import ring_attend
 
+pytestmark = pytest.mark.slow
+
 
 def _mesh(data=2, seq=4):
     if len(jax.devices()) < data * seq:
@@ -97,3 +99,36 @@ def test_trainer_step_with_ring(tmp_path):
     state = t.run(2)
     assert int(state.step) == 2
     assert np.isfinite(float(jax.tree.leaves(state.params)[0].sum()))
+
+
+def test_ring_pallas_chunks_support_gqa():
+    """GQA (hkv < h) rides the STREAMING Pallas chunk kernels (their K/V
+    block specs are natively grouped) instead of silently dropping to the
+    dense fp32 per-chunk math — fwd and travelling-accumulator bwd vs the
+    single-device oracle (VERDICT r3 ask #7)."""
+    import video_gpt_tpu.ops.flash_attention as fa
+
+    mesh = _mesh()
+    _, meta, q, k, v = _layout_and_qkv(seed=3, h=4, hkv=2)
+
+    def loss_dense(q, k, v):
+        return jnp.sum(attend(q, k, v, meta, meta, impl="reference") ** 2)
+
+    def loss_ring(q, k, v):
+        return jnp.sum(ring_attend(q, k, v, meta, meta, impl="pallas") ** 2)
+
+    want_out = attend(q, k, v, meta, meta, impl="reference")
+    want_g = jax.grad(loss_dense, argnums=(0, 1, 2))(q, k, v)
+    fa.INTERPRET = True
+    try:
+        with jax.sharding.set_mesh(mesh):
+            got_out = jax.jit(lambda q, k, v: ring_attend(
+                q, k, v, meta, meta, impl="pallas"))(q, k, v)
+            got_g = jax.jit(jax.grad(loss_ring, argnums=(0, 1, 2)))(q, k, v)
+    finally:
+        fa.INTERPRET = False
+    np.testing.assert_allclose(np.asarray(got_out), np.asarray(want_out),
+                               atol=1e-4, rtol=1e-4)
+    for g, w in zip(got_g, want_g):
+        np.testing.assert_allclose(np.asarray(g), np.asarray(w),
+                                   atol=1e-3, rtol=1e-3)

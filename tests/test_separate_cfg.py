@@ -8,6 +8,7 @@ pipeline uses the separate form for speed — this test pins that it is
 numerically the padded form.
 """
 import numpy as np
+import pytest
 
 import jax
 import jax.numpy as jnp
@@ -33,6 +34,7 @@ def _setup():
     return model, params, batch, z, clean
 
 
+@pytest.mark.slow
 def test_separate_cfg_matches_padded_pair():
     model, params, batch, z, clean = _setup()
     sched = SchedulerConfig(num_steps=3, prediction_type="x1")
@@ -60,6 +62,7 @@ def test_separate_cfg_matches_padded_pair():
                                rtol=2e-5, atol=2e-5)
 
 
+@pytest.mark.slow
 def test_separate_cfg_prefill_decode_matches_padded_pair():
     """The pipeline's actual fast path: cond row decodes against a prefill
     cache, uncond is a tail-only full forward."""
@@ -91,6 +94,7 @@ def test_separate_cfg_prefill_decode_matches_padded_pair():
                                rtol=2e-5, atol=2e-5)
 
 
+@pytest.mark.slow
 def test_cfg_interval_semantics():
     """CFG-interval schedule (SchedulerConfig.cfg_interval): a covering
     interval reproduces always-CFG exactly; an empty interval reproduces
@@ -162,6 +166,7 @@ def test_cfg_interval_semantics():
                                rtol=2e-5, atol=2e-5)
 
 
+@pytest.mark.slow
 def test_hybrid_batched_pair_matches_padded_pair():
     """bench.py's hybrid mode: B=1 prefill + zero-padded cache row for the
     uncond context + columnar rank mask on the padded pair layout."""
@@ -219,6 +224,7 @@ def test_kinds_from_flags():
     assert _kinds_from_flags((T, F, T), 5) == ("cfg", "cond", "cfg")
 
 
+@pytest.mark.slow
 def test_uncond_refresh_matches_hand_rolled_loop():
     """uncond_refresh=k: guided steps between refreshes reuse the cached
     uncond prediction; matches a hand-rolled Euler loop with the same
@@ -273,6 +279,7 @@ def test_uncond_refresh_matches_hand_rolled_loop():
                                rtol=2e-5, atol=2e-5)
 
 
+@pytest.mark.slow
 def test_uncond_refresh_one_is_reference_semantics():
     """k=1 (the default) is bit-identical to the plain separate-CFG path."""
     model, params, batch, z, clean = _setup()
@@ -295,6 +302,7 @@ def test_uncond_refresh_one_is_reference_semantics():
     np.testing.assert_array_equal(np.asarray(base), np.asarray(k1))
 
 
+@pytest.mark.slow
 def test_uncond_refresh_with_interval_and_fp32_preds():
     """Combined interval x refresh schedule through the switch path, with a
     pair fn whose outputs are fp32 while z0 is bf16 — the carry structure

@@ -23,6 +23,8 @@ from video_gpt_tpu.parallel.mesh import make_mesh
 from video_gpt_tpu.parallel.ulysses import ulysses_attend_cached
 from video_gpt_tpu.sampling.pipeline import VideoGPTPipeline
 
+pytestmark = pytest.mark.slow
+
 
 def _mesh(data=1, seq=2):
     if len(jax.devices()) < data * seq:

@@ -13,6 +13,8 @@ from video_gpt_tpu.models.vae import VAEConfig
 from video_gpt_tpu.parallel.mesh import DATA_AXIS
 from video_gpt_tpu.training.trainer import Trainer
 
+pytestmark = pytest.mark.slow
+
 
 @pytest.mark.parametrize("data,seq", [(2, 4)])
 def test_trainer_mesh_steps_with_zero_sharding(tmp_path, data, seq):

@@ -48,6 +48,7 @@ def test_block_shared_timesteps():
     assert len(set(np.round(t, 6).tolist())) > 3
 
 
+@pytest.mark.slow
 def test_training_loss_runs_and_zero_init_head():
     """A train-init model (zero x_embedder + zero final head) predicts 0, so
     the loss equals mean(x1^2) exactly — pins the x1-prediction target."""
@@ -64,6 +65,7 @@ def test_training_loss_runs_and_zero_init_head():
     assert np.isfinite(float(loss))
 
 
+@pytest.mark.slow
 def test_train_step_reduces_loss():
     layout, inputs = _inputs()
     tcfg = TrainConfig(lr=1e-3, lr_scheduler="constant", use_ema=True)
@@ -82,6 +84,7 @@ def test_train_step_reduces_loss():
     assert int(state.step) == 8
 
 
+@pytest.mark.slow
 def test_multidevice_train_step():
     """dp×sp mesh on the 8 fake CPU devices: the same path as
     __graft_entry__.dryrun_multichip."""
@@ -173,6 +176,7 @@ def test_aux_loss_excludes_padded_clean_slots():
     assert np.isfinite(float(loss))
 
 
+@pytest.mark.slow
 def test_trainer_lora_smoke(tmp_path):
     from video_gpt_tpu.config import ModelConfig as MC, TrainConfig
     from video_gpt_tpu.training.trainer import Trainer
@@ -206,6 +210,7 @@ def test_cosine_lr_horizon_from_max_steps():
         lr_schedule(TrainConfig(lr_scheduler="cosine"))
 
 
+@pytest.mark.slow
 def test_trainer_run_binds_max_steps(tmp_path):
     """Trainer.run(max_steps) feeds the cosine horizon (cli --max_steps)."""
     from video_gpt_tpu.models.vae import VAEConfig

@@ -17,6 +17,8 @@ from video_gpt_tpu.ops.attention import AttnMeta, attend
 from video_gpt_tpu.parallel.mesh import DATA_AXIS, SEQ_AXIS
 from video_gpt_tpu.parallel.ulysses import ulysses_attend
 
+pytestmark = pytest.mark.slow
+
 
 def _mesh(data=2, seq=4):
     if len(jax.devices()) < data * seq:

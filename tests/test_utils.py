@@ -1,5 +1,6 @@
 """Utility subsystems: export/import round-trip, parity probes, timers."""
 import numpy as np
+import pytest
 
 import jax
 import jax.numpy as jnp
@@ -14,6 +15,7 @@ from video_gpt_tpu.utils.torch_import import videogpt_params_from_torch
 CFG = ModelConfig.tiny(attn_impl="reference")
 
 
+@pytest.mark.slow
 def test_export_import_roundtrip():
     layout = build_layout([RowSpec((1, 1), "training")], 4)
     model = VideoGPT(CFG, dtype=jnp.float32)
@@ -45,6 +47,7 @@ def test_phase_timer():
     assert t.counts["a"] == 2 and "a:" in t.summary()
 
 
+@pytest.mark.slow
 def test_orbax_direct_inference_restore(tmp_path):
     """``generate --checkpoint_dir``: a training run feeds inference without
     the safetensors round-trip, including the EMA weights."""
@@ -74,6 +77,7 @@ def test_orbax_direct_inference_restore(tmp_path):
     assert abs(max_tree_diff(params, ema_tree) - 1.0) < 1e-6
 
 
+@pytest.mark.slow
 def test_cli_train_then_generate_from_checkpoint(tmp_path):
     """End-to-end: `cli train` (orbax checkpoint) -> `cli generate
     --checkpoint_dir` without any export step."""
@@ -103,6 +107,7 @@ def test_cli_train_then_generate_from_checkpoint(tmp_path):
     assert any(f.endswith(".png") for f in os.listdir(out_dir))
 
 
+@pytest.mark.slow
 def test_cli_stage_chaining_warm_start(tmp_path):
     """Stage curriculum handoff: `cli train --init_checkpoint_dir` warm-
     starts stage N from stage N-1's orbax checkpoint (params only), the
@@ -154,6 +159,7 @@ def test_cli_stage_chaining_warm_start(tmp_path):
     assert max_tree_diff(captured["init_params"], stage1_params) == 0.0
 
 
+@pytest.mark.slow
 def test_checkpoint_export_roundtrip(tmp_path):
     """orbax checkpoint -> reference safetensors -> importer round trip."""
     from video_gpt_tpu.config import TrainConfig
@@ -180,6 +186,7 @@ def test_checkpoint_export_roundtrip(tmp_path):
     assert max_tree_diff(params, back) == 0.0
 
 
+@pytest.mark.slow
 def test_cli_generate_video_dir_batches_same_bucket(tmp_path):
     """`generate --video_path_dir`: same-bucket videos ride one B=N
     program set (pipeline.generate_batch); odd buckets run alone. The
@@ -203,6 +210,7 @@ def test_cli_generate_video_dir_batches_same_bucket(tmp_path):
     assert {n.split("_")[0] for n in names} == {"0", "1", "2"}
 
 
+@pytest.mark.slow
 def test_cli_lora_train_then_merged_inference(tmp_path):
     """`train --use_lora` -> `generate --lora_checkpoint_dir`: the adapter
     tree restores from the LoRA run's orbax checkpoint and merges into the

@@ -19,6 +19,8 @@ import torch.nn.functional as F  # noqa: E402
 from video_gpt_tpu.models.vae import (AutoencoderKL, VAEConfig,  # noqa: E402
                                       vae_params_from_diffusers)
 
+pytestmark = pytest.mark.slow
+
 CFG = VAEConfig.tiny()  # (8, 8, 16, 16), 1 layer/block, groups=4
 
 

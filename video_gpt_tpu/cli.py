@@ -458,7 +458,8 @@ def cmd_generate_image(args):
                   guidance_scale=args.guidance_scale,
                   img_guidance_scale=args.img_guidance_scale,
                   max_input_image_size=args.max_input_image_size,
-                  seed=args.seed)
+                  seed=args.seed,
+                  separate_cfg_infer=not args.no_separate_cfg)
     os.makedirs(os.path.dirname(os.path.abspath(args.output)) or ".",
                 exist_ok=True)
     images[0].save(args.output)
@@ -726,6 +727,10 @@ def build_parser() -> argparse.ArgumentParser:
                     help="HF tokenizer path for text prompts")
     gi.add_argument("--dtype", default="bf16", choices=["bf16", "fp32"])
     gi.add_argument("--tiny_model", action="store_true")
+    gi.add_argument("--no_separate_cfg", action="store_true",
+                    help="run the CFG contexts as one padded batch instead "
+                         "of separately at natural lengths (the reference "
+                         "default is separate, OmniGen/pipeline.py:147)")
     gi.add_argument("--seed", type=int, default=None)
     gi.set_defaults(func=cmd_generate_image)
 

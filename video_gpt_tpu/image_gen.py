@@ -33,7 +33,7 @@ from .data.processor import crop_arr, postprocess_frames
 from .layout import NEVER, SequenceLayout
 from .models.vae import AutoencoderKL
 from .models.video_gpt import Batch, VideoGPT
-from .sampling.scheduler import sample
+from .sampling.scheduler import sample, sample_separate_multi
 from .tokens import DEFAULT_TOKEN_IDS, Kind, TokenIds
 
 DEFAULT_NEGATIVE_PROMPT = (
@@ -53,17 +53,26 @@ class TextRow:
     image_regions: List[Tuple[int, int]]  # [start, end) within input_ids
 
 
-def single_shot_layout(rows: Sequence[TextRow], n_out: int, n_region: int,
+def single_shot_layout(rows: Sequence[TextRow], n_out: int,
+                       n_region: Optional[int] = None,
                        pad_to_multiple: int = 1,
                        pad_to: Optional[int] = None,
                        token_ids: TokenIds = DEFAULT_TOKEN_IDS
                        ) -> SequenceLayout:
     """Layout for ``[pad][text(+images)][TIME][out image]`` rows, matching
     LVM/processor.py:432-440 (positions), 536-573 (mask) and 776-781
-    (bidirectional input-image regions). All input-image regions must have
-    ``n_region`` tokens and all rows share ``n_out`` output tokens.
-    ``pad_to`` fixes the total length (shape bucketing for a jitted train
-    step, like layout.build_layout)."""
+    (bidirectional input-image regions). All rows share ``n_out`` output
+    tokens; each input-image region sizes ITSELF from its ``TextRow``
+    extent — the reference inserts one region of each image's own token
+    length (OmniGen/processor.py:83-91), so mixed-size editing prompts are
+    first-class. Passing ``n_region`` asserts all regions have that length
+    (the uniform contract the training collator and the aux
+    input-reconstruction head rely on; ``clean_gather`` is only emitted for
+    uniform regions, since it is a rectangular [Nc, n] table). ``pad_to``
+    fixes the total length (shape bucketing for a jitted train step, like
+    layout.build_layout). ``clean_src`` indexes the FLAT patch stream of
+    the clean regions concatenated in (row, region) order — the order
+    VideoGPT's ``_embed_clean_flat`` produces."""
     B = len(rows)
     max_l = max(len(r.input_ids) for r in rows) + n_out + 1
     if pad_to is not None:
@@ -86,7 +95,9 @@ def single_shot_layout(rows: Sequence[TextRow], n_out: int, n_region: int,
 
     noisy_gather, clean_gather = [], []
     cf_row, cf_vid, nf_row = [], [], []
-    g_clean = 0
+    flat_off = 0  # running offset into the flat clean patch stream
+    uniform = n_region is not None or len({
+        e - s for r in rows for (s, e) in r.image_regions}) <= 1
     for b, row in enumerate(rows):
         temp_l = len(row.input_ids)
         pad_l = max_l - temp_l - n_out - 1
@@ -99,16 +110,19 @@ def single_shot_layout(rows: Sequence[TextRow], n_out: int, n_region: int,
         arr["pos_ids"][b, pad_l:] = np.arange(temp_l + n_out + 1)
         # input-image regions: causal + bidirectional within the region
         for g, (s, e) in enumerate(row.image_regions):
-            assert e - s == n_region, (s, e, n_region)
+            n_g = e - s
+            if n_region is not None:
+                assert n_g == n_region, (s, e, n_region)
             rs = slice(pad_l + s, pad_l + e)
             arr["kind"][b, rs] = int(Kind.CLEAN_IMG)
             arr["noisy_block"][b, rs] = g       # reuse the group mechanism
             arr["q_block"][b, rs] = g
-            arr["clean_src"][b, rs] = g_clean * n_region + np.arange(n_region)
-            clean_gather.append(b * max_l + pad_l + s + np.arange(n_region))
+            arr["clean_src"][b, rs] = flat_off + np.arange(n_g)
+            flat_off += n_g
+            if uniform:
+                clean_gather.append(b * max_l + pad_l + s + np.arange(n_g))
             cf_row.append(b)
             cf_vid.append(g)
-            g_clean += 1
         # TIME token: causal
         tpos = pad_l + temp_l
         arr["kind"][b, tpos] = int(Kind.TIME)
@@ -140,8 +154,12 @@ def single_shot_layout(rows: Sequence[TextRow], n_out: int, n_region: int,
         clean_src=arr["clean_src"], noisy_src=arr["noisy_src"],
         time_src=arr["time_src"],
         noisy_gather=_a(noisy_gather),
+        # rectangular only for uniform regions (aux-head/training contract);
+        # heterogeneous regions have no clean_gather — the aux
+        # input-reconstruction head is a training feature and training
+        # always uses one fixed input size (data/image_text.py)
         clean_gather=(_a(clean_gather) if clean_gather
-                      else np.zeros((0, n_region), np.int32)),
+                      else np.zeros((0, n_region or n_out), np.int32)),
         noisy_frame_row=_a(nf_row),
         noisy_frame_block=np.zeros((B,), np.int32),
         noisy_video_frame=np.zeros((B,), np.int32),
@@ -262,6 +280,61 @@ class ImageGenPipeline:
             return jnp.concatenate([out] * n_rows, axis=0)
         return fn
 
+    def _combine(self, n_rows: int, cfg_scale: float, img_scale: float):
+        """Mix per-context predictions (OmniGen/model.py:359-372):
+        3-way = uncond + img_scale*(img_cond - uncond)
+                       + cfg_scale*(cond - img_cond)."""
+        def fn(preds):
+            if n_rows == 3:
+                cond, uncond, img_cond = preds
+                return (uncond + img_scale * (img_cond - uncond)
+                        + cfg_scale * (cond - img_cond))
+            cond, uncond = preds
+            return uncond + cfg_scale * (cond - uncond)
+        return fn
+
+    def _run_fn_separate(self, sig, steps, time_shift, prediction_type,
+                         guidance_scale, img_guidance_scale):
+        """Separate-CFG program (the reference default,
+        OmniGen/pipeline.py:147,224-258): each guidance context prefillls
+        and decodes at its NATURAL length — the shorter negative/image rows
+        never pay attention over the cond row's pad tokens, and XLA can
+        overlap the independent per-context programs (the video path's
+        measured win, sampling/pipeline.py:_denoise_fn). ``sig`` is a
+        tuple of per-row (length, prefix, tail)."""
+        key = ("sep", sig, steps, time_shift, prediction_type,
+               guidance_scale, img_guidance_scale)
+        cache_dict = self.__dict__.setdefault("_run_fns", {})
+        if key in cache_dict:
+            return cache_dict[key]
+        sched = SchedulerConfig(num_steps=steps,
+                                time_shifting_factor=time_shift,
+                                prediction_type=prediction_type)
+        model = self.model
+        combine = self._combine(len(sig), guidance_scale,
+                                img_guidance_scale)
+        from .models.video_gpt import maybe_bias
+
+        @jax.jit
+        def run(params, batches, cleans, z0):
+            fns = []
+            for r, (batch, clean) in enumerate(zip(batches, cleans)):
+                _, prefix, tail = sig[r]
+                cache = model.apply(params, batch, clean, prefix,
+                                    method=VideoGPT.prefill)
+                bias = maybe_bias(model.cfg, batch.meta.tail(tail),
+                                  batch.meta)
+
+                def fn(z, t, batch=batch, cache=cache, tail=tail, bias=bias):
+                    return model.apply(params, batch, z, t, cache, tail,
+                                       bias, method=VideoGPT.decode)
+
+                fns.append(fn)
+            return sample_separate_multi(z0, fns, combine, sched)
+
+        cache_dict[key] = run
+        return run
+
     def __call__(
         self,
         prompt,
@@ -279,6 +352,7 @@ class ImageGenPipeline:
         time_shifting_factor: float = 1.0,
         seed: Optional[int] = None,
         output_type: str = "pil",
+        separate_cfg_infer: bool = True,
     ):
         if not isinstance(prompt, str):
             # prompt LIST parity (OmniGen/pipeline.py:138,205-206): under
@@ -305,7 +379,8 @@ class ImageGenPipeline:
                     guidance_scale, use_img_guidance, img_guidance_scale,
                     max_input_image_size, negative_prompt,
                     use_input_image_size_as_output, prediction_type,
-                    time_shifting_factor, base + i, output_type))
+                    time_shifting_factor, base + i, output_type,
+                    separate_cfg_infer))
             return out
         proc = self.processor
         proc.max_image_size = max_input_image_size
@@ -334,33 +409,66 @@ class ImageGenPipeline:
         p = self.model.cfg.patch_size
         hl, wl = height // f, width // f
         n_out = (hl // p) * (wl // p)
+        # uniform input sizes keep the rectangular clean_gather / batched
+        # encode; mixed sizes are first-class (each region at its own token
+        # length, OmniGen/processor.py:63-91,215-233)
+        uniform = len({px.shape for px in pixels}) <= 1
         n_region = (pixels[0].shape[0] * pixels[0].shape[1] // 256
-                    if pixels else n_out)
-        layout = single_shot_layout(rows, n_out, n_region)
-        batch = Batch.from_layout(layout)
-        tail = layout.noisy_tail_len()
-        prefix = layout.length - tail
+                    if pixels and uniform else None)
         dtype = self.model.dtype
 
         rng = jax.random.PRNGKey(0 if seed is None else seed)
         rng, erng, zrng = jax.random.split(rng, 3)
-        if pixels:
+        if pixels and uniform:
             px = jnp.asarray(np.stack(pixels), dtype)
-            clean = self.vae.apply(self.vae_params, px, erng,
-                                   method=AutoencoderKL.encode)
-            if use_img_guidance:  # img_cond row re-uses the same latents
-                clean = jnp.concatenate([clean, clean], axis=0)
+            clean_c = self.vae.apply(self.vae_params, px, erng,
+                                     method=AutoencoderKL.encode)
+            groups = (clean_c,)
+        elif pixels:
+            keys = jax.random.split(erng, len(pixels))
+            groups = tuple(
+                self.vae.apply(self.vae_params,
+                               jnp.asarray(im[None], dtype), k,
+                               method=AutoencoderKL.encode)
+                for im, k in zip(pixels, keys))
         else:
-            clean = jnp.zeros((0, hl, wl, self.model.cfg.in_channels), dtype)
+            groups = ()
         z0 = jax.random.normal(zrng, (1, hl, wl,
                                       self.model.cfg.in_channels), dtype)
-        z0 = jnp.concatenate([z0] * n_rows, axis=0)
 
-        run = self._run_fn(layout.length, prefix, tail, n_rows,
-                           num_inference_steps, time_shifting_factor,
-                           prediction_type, guidance_scale,
-                           img_guidance_scale)
-        latents = run(self.params, batch, clean, z0)[:1]
+        if separate_cfg_infer:
+            # each guidance context at its natural length (reference
+            # default, OmniGen/pipeline.py:147)
+            layouts = [single_shot_layout([r], n_out, n_region)
+                       for r in rows]
+            batches = [Batch.from_layout(l) for l in layouts]
+            sig = tuple((l.length, l.length - l.noisy_tail_len(),
+                         l.noisy_tail_len()) for l in layouts)
+            empty = (jnp.zeros((0, hl, wl, self.model.cfg.in_channels),
+                               dtype),)
+            cleans = [groups if r.image_regions else empty for r in rows]
+            run = self._run_fn_separate(sig, num_inference_steps,
+                                        time_shifting_factor,
+                                        prediction_type, guidance_scale,
+                                        img_guidance_scale)
+            latents = run(self.params, batches, cleans, z0)
+        else:
+            layout = single_shot_layout(rows, n_out, n_region)
+            batch = Batch.from_layout(layout)
+            tail = layout.noisy_tail_len()
+            prefix = layout.length - tail
+            # cond row's regions first, then (img guidance) the img row's
+            # copies — the (row, region) order clean_src indexes
+            clean = (groups + groups if use_img_guidance else groups)
+            if not clean:
+                clean = (jnp.zeros((0, hl, wl,
+                                    self.model.cfg.in_channels), dtype),)
+            z0b = jnp.concatenate([z0] * n_rows, axis=0)
+            run = self._run_fn(layout.length, prefix, tail, n_rows,
+                               num_inference_steps, time_shifting_factor,
+                               prediction_type, guidance_scale,
+                               img_guidance_scale)
+            latents = run(self.params, batch, clean, z0b)[:1]
         out = self.vae.apply(self.vae_params, latents,
                              method=AutoencoderKL.decode)
         if output_type == "pt":

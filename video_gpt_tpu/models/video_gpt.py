@@ -120,10 +120,19 @@ def extend_mask(q_meta: AttnMeta, k_meta: AttnMeta):
 
 
 def _scatter(emb: jax.Array, src: jax.Array, values: jax.Array) -> jax.Array:
-    """Replace emb[b, l] with values[src[b, l]] where src >= 0."""
+    """Replace emb[b, l] with values[src[b, l]] where src >= 0.
+    ``values`` may be [N, n, D] (flattened here) or already flat [M, D]."""
     flat = values.reshape(-1, values.shape[-1])
     taken = jnp.take(flat, jnp.clip(src, 0), axis=0)
     return jnp.where((src >= 0)[..., None], taken.astype(emb.dtype), emb)
+
+
+def _has_frames(clean) -> bool:
+    if clean is None:
+        return False
+    if isinstance(clean, (tuple, list)):
+        return any(g.shape[0] > 0 for g in clean)
+    return clean.shape[0] > 0
 
 
 class VideoGPT(nn.Module):
@@ -176,6 +185,20 @@ class VideoGPT(nn.Module):
         tok = embedder(latents)
         return tok + self._pos_embed(latents.shape[1], latents.shape[2])[None]
 
+    def _embed_clean_flat(self, clean) -> jax.Array:
+        """Clean conditions as a FLAT [sum_i Ni*ni, D] patch stream.
+
+        ``clean`` is one [N, hl, wl, C] array (the video path: all frames
+        share a geometry) or a tuple/list of such arrays — heterogeneous
+        input-image sizes in one image-gen prompt, each at its own token
+        length (OmniGen/processor.py:83-91). ``clean_src`` gather indices
+        address this stream in group order."""
+        groups = clean if isinstance(clean, (tuple, list)) else (clean,)
+        parts = [self._embed_frames(g, is_input=True) for g in groups
+                 if g.shape[0] > 0]
+        flat = [p.reshape(-1, p.shape[-1]) for p in parts]
+        return flat[0] if len(flat) == 1 else jnp.concatenate(flat, axis=0)
+
     def _assemble(self, ids, noisy_src, clean_src, time_src,
                   noisy_latents, t, clean_latents):
         emb = self.embed_tokens(ids)
@@ -183,9 +206,9 @@ class VideoGPT(nn.Module):
             x = self._embed_frames(noisy_latents, is_input=False)
             emb = _scatter(emb, noisy_src, x)
             emb = _scatter(emb, time_src, self.time_token(t))
-        if clean_latents is not None and clean_latents.shape[0] > 0:
-            c = self._embed_frames(clean_latents, is_input=True)
-            emb = _scatter(emb, clean_src, c)
+        if _has_frames(clean_latents):
+            emb = _scatter(emb, clean_src,
+                           self._embed_clean_flat(clean_latents))
         return emb
 
     def _heads(self, hidden, gather, t, shape, aux=False):
@@ -237,9 +260,9 @@ class VideoGPT(nn.Module):
         lp = prefix_len
         ids = batch.input_ids[:, :lp]
         emb = self.embed_tokens(ids)
-        if clean_latents is not None and clean_latents.shape[0] > 0:
-            c = self._embed_frames(clean_latents, is_input=True)
-            emb = _scatter(emb, batch.clean_src[:, :lp], c)
+        if _has_frames(clean_latents):
+            emb = _scatter(emb, batch.clean_src[:, :lp],
+                           self._embed_clean_flat(clean_latents))
         meta_p = AttnMeta(*(x[:, :lp] for x in batch.meta))
         _, cache = self.llm(emb, batch.pos_ids[:, :lp], meta_p, meta_p,
                             bias=self._maybe_bias(meta_p, meta_p))

@@ -190,9 +190,12 @@ def ring_attend(q, k, v, q_meta: AttnMeta, k_meta: AttnMeta,
         raise ValueError(f"ring SP={sp} needs sequence lengths divisible by "
                          f"the seq axis (got Lq={lq}, Lk={lk})")
     from ..ops.flash_attention import INTERPRET
+    # GQA (hkv < h) runs the SAME streaming kernels: their K/V block specs
+    # are natively grouped (flash_attention.py `hi // group` index maps)
+    # and the dKV grid accumulates the cross-head sum per kv head
     use_pallas = (impl in ("auto", "pallas")
                   and (jax.default_backend() == "tpu" or INTERPRET)
-                  and h == hkv and d <= 128)
+                  and h % hkv == 0 and d <= 128)
 
     def inner(q, k, v, q_meta, k_meta):
         return _ring(sp, use_pallas, q, k, v, *tuple(q_meta),

@@ -16,7 +16,7 @@ Semantics preserved exactly:
 """
 from __future__ import annotations
 
-from typing import Callable, Optional, Tuple
+from typing import Callable, Optional, Sequence, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -260,6 +260,43 @@ def sample_separate_cfg(
 
         carry, _ = jax.lax.scan(body, carry, jnp.arange(cfg.num_steps))
     return carry[0]
+
+
+def sample_separate_multi(
+    z0: jax.Array,
+    denoise_fns: Sequence[Callable[[jax.Array, jax.Array], jax.Array]],
+    combine: Callable[[Sequence[jax.Array]], jax.Array],
+    cfg: SchedulerConfig,
+) -> jax.Array:
+    """Euler ODE where EACH guidance context evaluates separately at its
+    natural length and ``combine(preds) -> pred`` mixes them — the 3-way
+    text/image CFG of the OmniGen ancestor run in its separate-CFG form
+    (OmniGen/model.py:376-402, the reference default
+    ``separate_cfg_infer=True``, OmniGen/pipeline.py:147). Unlike the
+    padded batch, no context pays attention over another's pad tokens.
+    ``combine`` receives fp32 predictions in ``denoise_fns`` order.
+
+    For the 2-context (cond, uncond) case prefer :func:`sample_separate_cfg`
+    — it additionally supports cfg_interval/uncond_refresh work reduction.
+    """
+    sigmas = jnp.asarray(sigma_schedule(cfg.num_steps,
+                                        cfg.time_shifting_factor,
+                                        cfg.begin_time))
+
+    def step(z, i):
+        sigma = sigmas[i]
+        t = jnp.full((z.shape[0],), sigma, z.dtype)
+        preds = [fn(z, t).astype(jnp.float32) for fn in denoise_fns]
+        pred = combine(preds)
+        zf = z.astype(jnp.float32)
+        if cfg.prediction_type == "x1":
+            v = (pred - zf) / (1.0 - sigma)
+        else:
+            v = pred
+        return (zf + (sigmas[i + 1] - sigma) * v).astype(z.dtype), None
+
+    z, _ = jax.lax.scan(step, z0, jnp.arange(cfg.num_steps))
+    return z
 
 
 def add_noise_x1(x1: jax.Array, x0: jax.Array, t: jax.Array) -> jax.Array:
