@@ -176,6 +176,9 @@ def test_single_shot_layout_heterogeneous_regions_match_reference(ref):
 
 
 def _tiny_pipe():
+    """Tiny pipeline with PERTURBED params: the head is zero-init at
+    model.init (reference parity), which would make every prediction
+    exactly 0 and every schedule/path comparison trivially pass."""
     cfg = ModelConfig.tiny(attn_impl="reference", pos_embed_max_size=192)
     model = VideoGPT(cfg, dtype=jnp.float32)
     vae = AutoencoderKL(VAEConfig.tiny(), dtype=jnp.float32)
@@ -188,6 +191,11 @@ def _tiny_pipe():
     cl = jnp.zeros((1, 8, 8, 4))
     params = model.init(jax.random.PRNGKey(0), Batch.from_layout(layout), z,
                         jnp.zeros((2,)), cl)
+    leaves, treedef = jax.tree.flatten(params)
+    rngs = jax.random.split(jax.random.PRNGKey(11), len(leaves))
+    params = jax.tree.unflatten(treedef, [
+        l + 0.02 * jax.random.normal(r, l.shape, l.dtype)
+        for l, r in zip(leaves, rngs)])
     vparams = vae.init(jax.random.PRNGKey(1), jnp.zeros((1, 64, 64, 3)),
                        jax.random.PRNGKey(2), True)
     return ImageGenPipeline(model=model, params=params, vae=vae,
@@ -210,6 +218,7 @@ def test_separate_cfg_matches_padded_batch():
     sep = pipe("a cat <img><|image_1|></img>", separate_cfg_infer=True, **kw)
     pad = pipe("a cat <img><|image_1|></img>", separate_cfg_infer=False,
                **kw)
+    assert float(np.std(sep)) > 1e-4  # non-degenerate comparison
     np.testing.assert_allclose(sep, pad, atol=2e-5, rtol=2e-5)
 
     # 2-way CFG (text only)
@@ -235,5 +244,26 @@ def test_pipeline_heterogeneous_input_sizes():
     sep = pipe(prompt, separate_cfg_infer=True, **kw)
     assert sep.shape == (1, 64, 64, 3)
     assert np.isfinite(sep).all()
+    assert float(np.std(sep)) > 1e-4  # non-degenerate comparison
     pad = pipe(prompt, separate_cfg_infer=False, **kw)
     np.testing.assert_allclose(sep, pad, atol=2e-5, rtol=2e-5)
+
+
+def test_image_serving_schedules_wired():
+    """cfg_interval/uncond_refresh reach the image-gen separate-CFG
+    sampler: defaults are bit-identical to the explicit k=1, a covering
+    interval changes nothing, k=2 differs and stays finite, and the
+    padded-batch path refuses the knobs instead of ignoring them."""
+    pipe = _tiny_pipe()
+    kw = dict(height=64, width=64, num_inference_steps=4,
+              guidance_scale=2.5, seed=0, output_type="pt")
+    base = pipe("a dog", **kw)
+    k1 = pipe("a dog", uncond_refresh=1, **kw)
+    np.testing.assert_array_equal(base, k1)
+    cover = pipe("a dog", cfg_interval=(0.0, 2.0), **kw)
+    np.testing.assert_array_equal(base, cover)
+    k2 = pipe("a dog", uncond_refresh=2, **kw)
+    assert np.isfinite(k2).all()
+    assert not np.array_equal(base, k2)
+    with pytest.raises(ValueError, match="separate_cfg_infer"):
+        pipe("a dog", separate_cfg_infer=False, uncond_refresh=2, **kw)

@@ -70,3 +70,55 @@ def test_euler_x1_trajectory_matches_reference(ref_sched, use_cfg, scale):
                     cfg_scale=scale)
     np.testing.assert_allclose(np.asarray(z_mine), z_ref,
                                atol=1e-5, rtol=1e-5)
+
+
+def test_separate_multi_schedules_match_hand_rolled_loop():
+    """sample_separate_multi with 3 guidance contexts under combined
+    cfg_interval x uncond_refresh schedules: matches a hand-rolled Euler
+    loop implementing the same reuse plan, with cheap toy denoise fns
+    (the image-gen 3-way CFG serving path)."""
+    from video_gpt_tpu.sampling.scheduler import (sample_separate_multi,
+                                                  sigma_schedule, step_kinds)
+
+    rng = np.random.default_rng(0)
+    z0 = jnp.asarray(rng.normal(size=(1, 4, 4, 4)).astype(np.float32))
+    ws = [0.7, -0.3, 0.2]
+
+    def make_fn(w):
+        return lambda z, t: jnp.tanh(z) * w + t.reshape(-1, 1, 1, 1)
+
+    fns = [make_fn(w) for w in ws]
+    cfg_s, img_s = 2.0, 1.5
+
+    def combine(preds):
+        cond, uncond, img = preds
+        return uncond + img_s * (img - uncond) + cfg_s * (cond - img)
+
+    for pred_type in ("v", "x1"):
+        for ival, k in [(None, 1), (None, 3), ((0.1, 0.8), 2),
+                        ((0.2, 0.6), 1)]:
+            sched = SchedulerConfig(num_steps=8, prediction_type=pred_type,
+                                    cfg_interval=ival, uncond_refresh=k)
+            out = sample_separate_multi(z0, fns, combine, sched)
+
+            kinds = step_kinds(sched)
+            sig = sigma_schedule(8)
+            z = z0
+            cache = None
+            for i in range(8):
+                t = jnp.full((1,), sig[i], z.dtype)
+                cond = fns[0](z, t).astype(jnp.float32)
+                if kinds[i] == "cfg":
+                    cache = [f(z, t).astype(z0.dtype) for f in fns[1:]]
+                if kinds[i] == "cond":
+                    pred = cond
+                else:
+                    pred = combine([cond] + [c.astype(jnp.float32)
+                                             for c in cache])
+                zf = z.astype(jnp.float32)
+                v = ((pred - zf) / (1.0 - sig[i]) if pred_type == "x1"
+                     else pred)
+                z = (zf + (sig[i + 1] - sig[i]) * v).astype(z.dtype)
+            np.testing.assert_allclose(np.asarray(out), np.asarray(z),
+                                       atol=1e-6, rtol=1e-6,
+                                       err_msg=f"{pred_type} {ival} k={k}")

@@ -459,7 +459,10 @@ def cmd_generate_image(args):
                   img_guidance_scale=args.img_guidance_scale,
                   max_input_image_size=args.max_input_image_size,
                   seed=args.seed,
-                  separate_cfg_infer=not args.no_separate_cfg)
+                  separate_cfg_infer=not args.no_separate_cfg,
+                  cfg_interval=(tuple(args.cfg_interval)
+                                if args.cfg_interval else None),
+                  uncond_refresh=args.uncond_refresh)
     os.makedirs(os.path.dirname(os.path.abspath(args.output)) or ".",
                 exist_ok=True)
     images[0].save(args.output)
@@ -731,6 +734,15 @@ def build_parser() -> argparse.ArgumentParser:
                     help="run the CFG contexts as one padded batch instead "
                          "of separately at natural lengths (the reference "
                          "default is separate, OmniGen/pipeline.py:147)")
+    gi.add_argument("--cfg_interval", type=float, nargs=2, default=None,
+                    metavar=("LO", "HI"),
+                    help="apply guidance only where sigma in [LO, HI); "
+                         "guidance contexts are skipped elsewhere "
+                         "(arXiv:2404.07724)")
+    gi.add_argument("--uncond_refresh", type=int, default=1,
+                    help="evaluate the guidance contexts only every k-th "
+                         "guided step, reusing their cached predictions in "
+                         "between (arXiv:2312.00858); 1 = every step")
     gi.add_argument("--seed", type=int, default=None)
     gi.set_defaults(func=cmd_generate_image)
 

@@ -294,7 +294,8 @@ class ImageGenPipeline:
         return fn
 
     def _run_fn_separate(self, sig, steps, time_shift, prediction_type,
-                         guidance_scale, img_guidance_scale):
+                         guidance_scale, img_guidance_scale,
+                         cfg_interval=None, uncond_refresh=1):
         """Separate-CFG program (the reference default,
         OmniGen/pipeline.py:147,224-258): each guidance context prefillls
         and decodes at its NATURAL length — the shorter negative/image rows
@@ -303,13 +304,16 @@ class ImageGenPipeline:
         measured win, sampling/pipeline.py:_denoise_fn). ``sig`` is a
         tuple of per-row (length, prefix, tail)."""
         key = ("sep", sig, steps, time_shift, prediction_type,
-               guidance_scale, img_guidance_scale)
+               guidance_scale, img_guidance_scale, cfg_interval,
+               uncond_refresh)
         cache_dict = self.__dict__.setdefault("_run_fns", {})
         if key in cache_dict:
             return cache_dict[key]
         sched = SchedulerConfig(num_steps=steps,
                                 time_shifting_factor=time_shift,
-                                prediction_type=prediction_type)
+                                prediction_type=prediction_type,
+                                cfg_interval=cfg_interval,
+                                uncond_refresh=uncond_refresh)
         model = self.model
         combine = self._combine(len(sig), guidance_scale,
                                 img_guidance_scale)
@@ -353,6 +357,8 @@ class ImageGenPipeline:
         seed: Optional[int] = None,
         output_type: str = "pil",
         separate_cfg_infer: bool = True,
+        cfg_interval: Optional[Tuple[float, float]] = None,
+        uncond_refresh: int = 1,
     ):
         if not isinstance(prompt, str):
             # prompt LIST parity (OmniGen/pipeline.py:138,205-206): under
@@ -380,7 +386,7 @@ class ImageGenPipeline:
                     max_input_image_size, negative_prompt,
                     use_input_image_size_as_output, prediction_type,
                     time_shifting_factor, base + i, output_type,
-                    separate_cfg_infer))
+                    separate_cfg_infer, cfg_interval, uncond_refresh))
             return out
         proc = self.processor
         proc.max_image_size = max_input_image_size
@@ -450,9 +456,16 @@ class ImageGenPipeline:
             run = self._run_fn_separate(sig, num_inference_steps,
                                         time_shifting_factor,
                                         prediction_type, guidance_scale,
-                                        img_guidance_scale)
+                                        img_guidance_scale, cfg_interval,
+                                        uncond_refresh)
             latents = run(self.params, batches, cleans, z0)
         else:
+            if cfg_interval is not None or uncond_refresh != 1:
+                # the padded batch evaluates every context in ONE forward:
+                # skipping a context's evaluation is structurally impossible
+                raise ValueError(
+                    "cfg_interval/uncond_refresh serving schedules need "
+                    "separate_cfg_infer=True (the default)")
             layout = single_shot_layout(rows, n_out, n_region)
             batch = Batch.from_layout(layout)
             tail = layout.noisy_tail_len()

@@ -274,29 +274,82 @@ def sample_separate_multi(
     (OmniGen/model.py:376-402, the reference default
     ``separate_cfg_infer=True``, OmniGen/pipeline.py:147). Unlike the
     padded batch, no context pays attention over another's pad tokens.
-    ``combine`` receives fp32 predictions in ``denoise_fns`` order.
+    ``combine`` receives fp32 predictions in ``denoise_fns`` order, with
+    ``denoise_fns[0]`` the CONDITIONAL context.
 
-    For the 2-context (cond, uncond) case prefer :func:`sample_separate_cfg`
-    — it additionally supports cfg_interval/uncond_refresh work reduction.
+    The serving schedules compose like :func:`sample_separate_cfg`
+    (:func:`step_kinds` gives the static plan):
+
+    - ``cfg.cfg_interval``: steps whose sigma falls outside the interval
+      evaluate ONLY the conditional context and use its prediction raw.
+    - ``cfg.uncond_refresh = k``: guided steps between refreshes evaluate
+      only the conditional context and reuse the cached predictions of all
+      OTHER contexts as the guidance baselines.
+
+    Compilation structure matches sample_separate_cfg: one ``lax.scan``
+    segment per contiguous kind-run when there are at most 3 runs, else a
+    single scan with ``lax.switch`` on the static kind array — O(1)
+    segments and per-kind traces in ``num_steps``.
     """
     sigmas = jnp.asarray(sigma_schedule(cfg.num_steps,
                                         cfg.time_shifting_factor,
                                         cfg.begin_time))
+    kinds = step_kinds(cfg)
 
-    def step(z, i):
+    def euler(z, i, pred):
         sigma = sigmas[i]
-        t = jnp.full((z.shape[0],), sigma, z.dtype)
-        preds = [fn(z, t).astype(jnp.float32) for fn in denoise_fns]
-        pred = combine(preds)
         zf = z.astype(jnp.float32)
         if cfg.prediction_type == "x1":
             v = (pred - zf) / (1.0 - sigma)
         else:
             v = pred
-        return (zf + (sigmas[i + 1] - sigma) * v).astype(z.dtype), None
+        return (zf + (sigmas[i + 1] - sigma) * v).astype(z.dtype)
 
-    z, _ = jax.lax.scan(step, z0, jnp.arange(cfg.num_steps))
-    return z
+    # carry = (z, tuple of cached aux-context predictions in z0's dtype)
+    def step_cfg(carry, i):
+        z, _ = carry
+        t = jnp.full((z.shape[0],), sigmas[i], z.dtype)
+        preds = [fn(z, t).astype(jnp.float32) for fn in denoise_fns]
+        cache = tuple(p.astype(z0.dtype) for p in preds[1:])
+        return (euler(z, i, combine(preds)), cache), None
+
+    def step_cfg_reuse(carry, i):
+        z, cache = carry
+        t = jnp.full((z.shape[0],), sigmas[i], z.dtype)
+        cond = denoise_fns[0](z, t).astype(jnp.float32)
+        preds = [cond] + [c.astype(jnp.float32) for c in cache]
+        return (euler(z, i, combine(preds)), cache), None
+
+    def step_cond(carry, i):
+        z, cache = carry
+        t = jnp.full((z.shape[0],), sigmas[i], z.dtype)
+        cond = denoise_fns[0](z, t).astype(jnp.float32)
+        return (euler(z, i, cond), cache), None
+
+    fns = {"cfg": step_cfg, "cfg_reuse": step_cfg_reuse, "cond": step_cond}
+    carry = (z0, tuple(jnp.zeros_like(z0) for _ in denoise_fns[1:]))
+    runs = []
+    start = 0
+    while start < cfg.num_steps:
+        end = start
+        while end < cfg.num_steps and kinds[end] == kinds[start]:
+            end += 1
+        runs.append((kinds[start], start, end))
+        start = end
+    if len(runs) <= 3:
+        for kind, s, e in runs:
+            carry, _ = jax.lax.scan(fns[kind], carry, jnp.arange(s, e))
+    else:
+        present = sorted({k for k, _, _ in runs})
+        branches = [
+            (lambda fn: lambda c, i: fn(c, i)[0])(fns[k]) for k in present]
+        kind_ids = jnp.asarray([present.index(k) for k in kinds], jnp.int32)
+
+        def body(c, i):
+            return jax.lax.switch(kind_ids[i], branches, c, i), None
+
+        carry, _ = jax.lax.scan(body, carry, jnp.arange(cfg.num_steps))
+    return carry[0]
 
 
 def add_noise_x1(x1: jax.Array, x0: jax.Array, t: jax.Array) -> jax.Array:
