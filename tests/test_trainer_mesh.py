@@ -108,6 +108,37 @@ def test_trainer_zero3_param_sharding(tmp_path):
     assert np.isfinite(float(loss_leaf.sum()))
 
 
+def test_trainer_tensor_parallel(tmp_path):
+    """Trainer over a (data=2, tensor=2) mesh: the model flips to the
+    TP-grouped layout, the Megatron placement actually shards the fused
+    kernels over 'tensor', and the step stays finite."""
+    if len(jax.devices()) < 4:
+        pytest.skip("needs 4 CPU devices")
+    from video_gpt_tpu.parallel.mesh import TENSOR_AXIS
+    cfg = TrainConfig(frame_num=4, frame_block_scheme="frame_block",
+                      mixed_precision="no", lr=1e-3, lr_scheduler="constant",
+                      log_every=1, ckpt_every=1000,
+                      results_dir=str(tmp_path))
+    t = Trainer(ModelConfig.tiny(attn_impl="reference",
+                                 pos_embed_max_size=192),
+                cfg, "/root/reference/vids", vae_cfg=VAEConfig.tiny(),
+                target_resolution=(48, 64),
+                mesh_cfg=MeshConfig(data=2, tensor=2))
+    assert t.model_cfg.tensor_parallel == 2
+    state = t.run(2)
+    assert int(state.step) == 2
+
+    qkv = state.params["params"]["llm"]["layers"]["self_attn"]["qkv_proj"][
+        "kernel"]
+    assert tuple(qkv.sharding.spec)[-1] == TENSOR_AXIS
+    mu_found = [
+        leaf for leaf in jax.tree.leaves(state.opt_state)
+        if hasattr(leaf, "sharding") and hasattr(leaf.sharding, "spec")
+        and TENSOR_AXIS in jax.tree.leaves(tuple(leaf.sharding.spec))]
+    assert mu_found, "no optimizer moment sharded over 'tensor'"
+    assert np.isfinite(float(jax.tree.leaves(state.params)[0].sum()))
+
+
 def test_trainer_cli_mesh_smoke(tmp_path):
     """`cli train --mesh_data 2 --mesh_seq 4` takes steps on the CPU mesh."""
     if len(jax.devices()) < 8:

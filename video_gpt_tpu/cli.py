@@ -12,9 +12,35 @@ import os
 
 def _model_cfg(args):
     from .config import ModelConfig
+    tp = int(getattr(args, "mesh_tensor", 1) or 1)
     if args.tiny_model:
-        return ModelConfig.tiny(pos_embed_max_size=192)
-    return ModelConfig()
+        return ModelConfig.tiny(pos_embed_max_size=192, tensor_parallel=tp)
+    return ModelConfig(tensor_parallel=tp)
+
+
+def _detect_ckpt_tp(checkpoint_dir) -> int:
+    """tensor_parallel layout of an orbax checkpoint, read from the run's
+    train_args.json (written next to checkpoints/ by Trainer.run). Orbax
+    checkpoints carry the layout of the run that wrote them; missing
+    metadata means a pre-TP run: the standard fused layout (tp=1)."""
+    import json
+    meta = os.path.join(os.path.dirname(os.path.normpath(checkpoint_dir)),
+                        "train_args.json")
+    try:
+        with open(meta) as f:
+            return int(json.load(f)["model"].get("tensor_parallel", 1))
+    except Exception:
+        return 1
+
+
+def _convert_tp(tree, cfg, tp_src: int, tp_dst: int):
+    """Convert a param/adapter tree between fused-column layouts
+    (parallel/tensor.py): source-grouped -> standard -> target-grouped."""
+    if tp_src == tp_dst:
+        return tree
+    from .parallel.tensor import tp_regroup_params
+    tree = tp_regroup_params(tree, cfg, tp=tp_src, inverse=True)
+    return tp_regroup_params(tree, cfg, tp=tp_dst)
 
 
 def cmd_train(args):
@@ -76,16 +102,25 @@ def cmd_train(args):
     if args.model_ckpt:
         from .utils.torch_import import (load_reference_checkpoint,
                                          videogpt_params_from_torch)
+        mc = _model_cfg(args)
         init_params = {"params": videogpt_params_from_torch(
-            load_reference_checkpoint(args.model_ckpt), _model_cfg(args))}
+            load_reference_checkpoint(args.model_ckpt), mc)}
+        # torch checkpoints are standard fused layout; regroup for TP
+        init_params = _convert_tp(init_params, mc, 1, mc.tensor_parallel)
     elif args.init_checkpoint_dir:
         # stage chaining: warm-start from a PRIOR stage's orbax checkpoint
         # (the reference's curriculum hands weights between stages,
         # train_x1_stage1_noiseinput.py:316-332). Partial restore of the
         # params only — never the previous stage's AdamW state.
+        mc = _model_cfg(args)
         init_params, init_step = _restore_train_params(
-            args.init_checkpoint_dir, _model_cfg(args), step=args.init_step,
+            args.init_checkpoint_dir, mc, step=args.init_step,
             ema=args.init_ema, input_head=args.input_output_return)
+        # cross-mesh chaining: the prior stage may have run at a different
+        # tensor degree — convert between fused-column layouts
+        init_params = _convert_tp(init_params, mc,
+                                  _detect_ckpt_tp(args.init_checkpoint_dir),
+                                  mc.tensor_parallel)
         print(f"warm-start from {args.init_checkpoint_dir} step {init_step}"
               f"{' (EMA)' if args.init_ema else ''}")
 
@@ -98,9 +133,10 @@ def cmd_train(args):
         except Exception:
             pass
     mesh_cfg = None
-    if args.mesh_data * args.mesh_seq > 1:
+    if args.mesh_data * args.mesh_seq * args.mesh_tensor > 1:
         from .config import MeshConfig
         mesh_cfg = MeshConfig(data=args.mesh_data, seq=args.mesh_seq,
+                              tensor=args.mesh_tensor,
                               zero_params=args.zero3)
     trainer = Trainer(
         _model_cfg(args), cfg, args.video_dir_path,
@@ -225,15 +261,18 @@ def cmd_generate(args):
     enable_compilation_cache()
     model_cfg = _model_cfg(args)
     mesh = None
-    if args.mesh_seq > 1:
-        # sequence-parallel serving over a Mesh (reference: inference at
-        # SP=4, inference_nv.sh:23); Ulysses all_to_alls move only the tail
+    if args.mesh_seq * args.mesh_tensor > 1:
+        # sequence/tensor-parallel serving over a Mesh (reference: inference
+        # at SP=4, inference_nv.sh:23; TP is a TPU-native addition — heads/
+        # MLP sharded over 'tensor'). Ulysses all_to_alls move only the tail
         from .config import MeshConfig
         from .parallel.mesh import make_mesh
         from dataclasses import replace as _dc_replace
-        mesh = make_mesh(MeshConfig(data=1, seq=args.mesh_seq))
-        model_cfg = _dc_replace(model_cfg, seq_shard=True,
-                                sp_attention="ulysses")
+        mesh = make_mesh(MeshConfig(data=1, seq=args.mesh_seq,
+                                    tensor=args.mesh_tensor))
+        if args.mesh_seq > 1:
+            model_cfg = _dc_replace(model_cfg, seq_shard=True,
+                                    sp_attention="ulysses")
     vae_cfg = VAEConfig.tiny() if args.tiny_model else VAEConfig()
     dtype = jnp.bfloat16 if args.dtype == "bf16" else jnp.float32
     model = VideoGPT(model_cfg, dtype=dtype)
@@ -251,11 +290,17 @@ def cmd_generate(args):
             print("model.pt checkpoint: prediction_type defaults to 'v'")
         params = {"params": videogpt_params_from_torch(
             load_reference_checkpoint(args.model_ckpt), model_cfg)}
+        # torch checkpoints are standard fused layout; regroup for TP
+        params = _convert_tp(params, model_cfg, 1, model_cfg.tensor_parallel)
     elif args.checkpoint_dir:
-        # orbax training run -> inference directly (no export round-trip)
+        # orbax training run -> inference directly (no export round-trip);
+        # the run's fused-column layout is recorded in its train_args.json
         params, _ = _restore_train_params(
             args.checkpoint_dir, model_cfg, step=args.step, ema=args.ema,
             input_head=args.input_head, cast_dtype=dtype)
+        params = _convert_tp(params, model_cfg,
+                             _detect_ckpt_tp(args.checkpoint_dir),
+                             model_cfg.tensor_parallel)
     else:
         params = None
     if args.prediction_type is None:
@@ -271,6 +316,11 @@ def cmd_generate(args):
         lora = _restore_lora_adapters(
             args.lora_checkpoint_dir, model_cfg, rank=args.lora_rank,
             step=args.step, ema=args.ema, input_head=args.input_head)
+        # adapters must be in the base's fused-column layout (lora_b of
+        # qkv_proj is column-grouped under TP exactly like the kernel)
+        lora = _convert_tp(lora, model_cfg,
+                           _detect_ckpt_tp(args.lora_checkpoint_dir),
+                           model_cfg.tensor_parallel)
         params = {"params": merge_lora(params["params"], lora)}
         params = jax.tree.map(
             lambda x: x.astype(dtype)
@@ -332,6 +382,12 @@ def cmd_generate(args):
                               jax.random.PRNGKey(2), True)
         print("WARNING: no --vae_ckpt; using random VAE weights")
 
+    if mesh is not None and args.mesh_tensor > 1:
+        # Megatron placement at rest: each tensor shard holds only its own
+        # head/feature blocks (1/tp of qkv/o/gate_up/down weights)
+        from .parallel.mesh import param_specs
+        params = jax.device_put(params,
+                                param_specs(params, mesh, tp=True))
     pipe = VideoGPTPipeline(model=model, params=params, vae=vae,
                             vae_params=vae_params, mesh=mesh)
     os.makedirs(args.save_dir, exist_ok=True)
@@ -552,6 +608,9 @@ def cmd_export(args):
     tree, step = _restore_train_params(args.checkpoint_dir, cfg,
                                        step=args.step, ema=args.ema,
                                        input_head=args.input_head)
+    # safetensors exports are ALWAYS the standard fused layout (loadable by
+    # the reference); undo a TP run's column grouping first
+    tree = _convert_tp(tree, cfg, _detect_ckpt_tp(args.checkpoint_dir), 1)
     save_safetensors(tree, cfg, args.output)
     print(f"exported step {step}{' (EMA)' if args.ema else ''} "
           f"to {args.output}")
@@ -639,6 +698,10 @@ def build_parser() -> argparse.ArgumentParser:
     t.add_argument("--mesh_seq", type=int, default=1,
                    help="sequence-parallel mesh axis (Ulysses shard_map "
                         "attention)")
+    t.add_argument("--mesh_tensor", type=int, default=1,
+                   help="Megatron tensor-parallel mesh axis: heads/MLP "
+                        "features sharded over 'tensor' (a TPU-native "
+                        "addition; the reference has no TP)")
     t.add_argument("--sp_attention", default="ulysses",
                    choices=["ulysses", "ring"],
                    help="SP mechanism when --mesh_seq > 1: Ulysses "
@@ -701,6 +764,10 @@ def build_parser() -> argparse.ArgumentParser:
     g.add_argument("--mesh_seq", type=int, default=1,
                    help="sequence-parallel serving over this many devices "
                         "(Ulysses; reference inference uses SP=4)")
+    g.add_argument("--mesh_tensor", type=int, default=1,
+                   help="tensor-parallel serving: heads/MLP features (and "
+                        "the KV cache at rest) sharded over this many "
+                        "devices; composes with --mesh_seq")
     g.add_argument("--dtype", default="bf16", choices=["bf16", "fp32"])
     g.add_argument("--tiny_model", action="store_true")
     g.add_argument("--seed", type=int, default=42)

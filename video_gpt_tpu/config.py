@@ -47,6 +47,14 @@ class ModelConfig:
                                 # head count; parallel/ring.py)
     scan_unroll: int = 1     # unroll factor for the layer scan (compile time
                              # vs scheduling freedom)
+    # Megatron-style tensor parallelism over the mesh's 'tensor' axis.
+    # STATIC and layout-affecting: the fused qkv_proj / gate_up_proj
+    # feature columns are stored TP-GROUPED (shard-major [q_i|k_i|v_i] /
+    # [gate_i|up_i] per tensor shard i) so the column-parallel sharding is
+    # block-aligned — zero resharding inside the layer. Checkpoints in the
+    # standard fused order convert with parallel.tensor.tp_regroup_params.
+    # 1 = standard layout (the two layouts coincide).
+    tensor_parallel: int = 1
     # in-model LoRA (qkv_proj/o_proj): rank 0 = off. Adapters act INSIDE the
     # layer (y += (alpha/r)*(x@A)@B) so a frozen-base fine-tune only ever
     # materialises adapter gradients — merging outside the model would make
@@ -99,20 +107,30 @@ class SchedulerConfig:
 
 @dataclasses.dataclass(frozen=True)
 class MeshConfig:
-    """Device mesh: data-parallel × sequence-parallel axes.
+    """Device mesh: data × sequence × tensor × pipeline axes.
 
     ``zero_params``: ZeRO-3-style parameter sharding — params and EMA are
     sharded over ``data`` at rest (like the optimizer state) and XLA's SPMD
     partitioner inserts the per-use all-gathers, the GSPMD analogue of the
-    reference's DeepSpeed stage-3 configs (stage3_offload_bf16_dp.json)."""
+    reference's DeepSpeed stage-3 configs (stage3_offload_bf16_dp.json).
+
+    ``tensor``: Megatron-style tensor parallelism — attention heads and MLP
+    hidden features sharded over the axis, with the column/row-parallel
+    kernels laid out block-aligned (ModelConfig.tensor_parallel).
+
+    ``pipe``: GPipe pipeline parallelism — the layer stack's leading (scan)
+    axis sharded into contiguous stages; microbatches flow stage-to-stage
+    over ``ppermute`` (parallel/pipeline.py)."""
 
     data: int = 1
     seq: int = 1
+    tensor: int = 1
+    pipe: int = 1
     zero_params: bool = False
 
     @property
     def num_devices(self) -> int:
-        return self.data * self.seq
+        return self.data * self.seq * self.tensor * self.pipe
 
 
 @dataclasses.dataclass(frozen=True)

@@ -125,7 +125,17 @@ class Phi3Attention(nn.Module):
         b, l, _ = x.shape
         qkv = LoraDense((h + 2 * hkv) * d, cfg.lora_rank, cfg.lora_alpha,
                         self.dtype, name="qkv_proj")(x)
-        q, k, v = jnp.split(qkv, [h * d, (h + hkv) * d], axis=-1)
+        tp = cfg.tensor_parallel
+        if tp > 1:
+            # TP-grouped fused layout (ModelConfig.tensor_parallel): columns
+            # are stored per-shard [q_i|k_i|v_i], so a block sharding of the
+            # feature dim over 'tensor' is head-aligned. The tp-major merge
+            # below restores the GLOBAL head order exactly.
+            hq, hk = h // tp, hkv // tp
+            qkv = qkv.reshape(b, l, tp, (hq + 2 * hk) * d)
+            q, k, v = jnp.split(qkv, [hq * d, (hq + hk) * d], axis=-1)
+        else:
+            q, k, v = jnp.split(qkv, [h * d, (h + hkv) * d], axis=-1)
         q = q.reshape(b, l, h, d)
         k = k.reshape(b, l, hkv, d)
         v = v.reshape(b, l, hkv, d)
@@ -140,7 +150,11 @@ class Phi3Attention(nn.Module):
                     ((0, 0), (0, 0), (0, 0), (0, lane_pad)))
             for x in (k, v))
         cached = cache is not None and cache[0].shape[2] > 0
-        if cfg.sp_attention in ("ulysses", "ring") and cached:
+        # Megatron TP routes through the same head-parallel shard_maps as
+        # Ulysses (with sp=1 the a2a degenerates away and only the 'tensor'
+        # head sharding remains); off-mesh both fall back to the local call
+        tp_mode = tp > 1
+        if (cfg.sp_attention in ("ulysses", "ring") or tp_mode) and cached:
             # inference SP: cache stays head-sharded at rest, only the tail
             # rides the all_to_alls (falls back to plain concat off-mesh).
             # Ring serves cached decode through the same path — the
@@ -154,7 +168,7 @@ class Phi3Attention(nn.Module):
             # (ppermute) — SP degree not capped by head count
             from ..parallel.ring import ring_attend
             out = ring_attend(q, k, v, q_meta, k_meta, impl=cfg.attn_impl)
-        elif cfg.sp_attention == "ulysses":
+        elif cfg.sp_attention == "ulysses" or tp_mode:
             from ..parallel.ulysses import ulysses_attend
             out = ulysses_attend(q, k, v, q_meta, k_meta,
                                  impl=cfg.attn_impl, bias=bias)
@@ -191,10 +205,20 @@ class Phi3Mlp(nn.Module):
     def __call__(self, x):
         gate_up = nn.Dense(2 * self.cfg.intermediate_size, use_bias=False,
                            dtype=self.dtype, name="gate_up_proj")(x)
-        gate, up = jnp.split(gate_up, 2, axis=-1)
+        tp = self.cfg.tensor_parallel
+        if tp > 1:
+            # TP-grouped fused layout: per-shard [gate_i|up_i] columns —
+            # the silu*up product is shard-local, and the tp-major merge
+            # keeps down_proj's row-sharded contraction block-aligned
+            b, l, f = gate_up.shape
+            gate, up = jnp.split(gate_up.reshape(b, l, tp, f // tp), 2,
+                                 axis=-1)
+            act = (nn.silu(gate) * up).reshape(b, l, -1)
+        else:
+            gate, up = jnp.split(gate_up, 2, axis=-1)
+            act = nn.silu(gate) * up
         return nn.Dense(self.cfg.hidden_size, use_bias=False,
-                        dtype=self.dtype, name="down_proj")(
-            nn.silu(gate) * up)
+                        dtype=self.dtype, name="down_proj")(act)
 
 
 class Phi3Layer(nn.Module):
@@ -216,7 +240,9 @@ class Phi3Layer(nn.Module):
         mlp_in = RMSNorm(self.cfg.rms_norm_eps, self.dtype,
                          name="post_attention_layernorm")(x)
         x = x + Phi3Mlp(self.cfg, self.dtype, name="mlp")(mlp_in)
-        if self.cfg.seq_shard:
+        if self.cfg.seq_shard or self.cfg.tensor_parallel > 1:
+            # P(data, seq, None): under TP this is where the row-parallel
+            # partial sums (o_proj / down_proj) resolve into all-reduces
             from ..parallel.mesh import constrain_activations
             x = constrain_activations(x)
         return x, new_kv

@@ -26,14 +26,38 @@ from ..config import MeshConfig
 
 DATA_AXIS = "data"
 SEQ_AXIS = "seq"
+TENSOR_AXIS = "tensor"   # Megatron-style TP: heads / MLP features
+PIPE_AXIS = "pipe"       # GPipe PP: layer-stack stages
 
 
 def make_mesh(cfg: MeshConfig, devices=None) -> Mesh:
     devices = jax.devices() if devices is None else devices
     n = cfg.num_devices
     assert len(devices) >= n, (len(devices), n)
-    grid = np.asarray(devices[:n]).reshape(cfg.data, cfg.seq)
-    return Mesh(grid, (DATA_AXIS, SEQ_AXIS))
+    grid = np.asarray(devices[:n]).reshape(cfg.data, cfg.seq, cfg.tensor,
+                                           cfg.pipe)
+    return Mesh(grid, (DATA_AXIS, SEQ_AXIS, TENSOR_AXIS, PIPE_AXIS))
+
+
+def axis_size(axis: str) -> int:
+    """Size of ``axis`` in the ambient mesh (1 when absent / no mesh)."""
+    try:
+        mesh = jax.sharding.get_abstract_mesh()
+        return int(mesh.shape.get(axis, 1))
+    except Exception:
+        return 1
+
+
+def maybe_axis(axis: str, mesh=None) -> Optional[str]:
+    """``axis`` if present in the (given or ambient) mesh, else None —
+    lets PartitionSpecs mention optional axes without breaking 2-axis
+    meshes built directly by callers (tests_tpu kernels)."""
+    if mesh is None:
+        try:
+            mesh = jax.sharding.get_abstract_mesh()
+        except Exception:
+            return None
+    return axis if axis in mesh.shape else None
 
 
 def replicated(mesh: Mesh) -> NamedSharding:
@@ -65,40 +89,102 @@ def batch_sharding(mesh: Mesh) -> NamedSharding:
     return NamedSharding(mesh, P(DATA_AXIS, SEQ_AXIS))
 
 
-def place_train_state(state, mesh: Mesh, zero_params: bool = False):
+# Megatron TP placement by module name (phi3.Phi3Attention / Phi3Mlp).
+# Column-parallel: fused-projection OUTPUT features over 'tensor' (the
+# fused columns are stored TP-GROUPED — ModelConfig.tensor_parallel — so
+# the block sharding is exactly per-shard [q_i|k_i|v_i] / [gate_i|up_i]).
+# Row-parallel: contraction dim over 'tensor'; the partial sums resolve
+# into GSPMD all-reduces at the layer-boundary activation constraint.
+_TP_COL_MODULES = ("qkv_proj", "gate_up_proj")
+_TP_ROW_MODULES = ("o_proj", "down_proj")
+
+
+def param_specs(tree, mesh: Mesh, tp: bool = False, pp: bool = False,
+                zero: bool = False):
+    """NamedShardings for a param-shaped tree (params / EMA / optimizer
+    moments — optax moment trees carry the same param path names).
+
+    - ``tp``: Megatron tensor parallelism over 'tensor' (column-parallel
+      kernels/lora_b on the last dim; row-parallel kernels/lora_a on the
+      contraction dim).
+    - ``pp``: layer-stack leading (nn.scan) axis over 'pipe'.
+    - ``zero``: ZeRO-style sharding over 'data' of the first remaining
+      divisible dim (DeepSpeed stage 1/2/3 analogue)."""
+    ntp = int(mesh.shape.get(TENSOR_AXIS, 1))
+    npp = int(mesh.shape.get(PIPE_AXIS, 1))
+    nd = int(mesh.shape[DATA_AXIS])
+
+    def spec(path, leaf):
+        if not hasattr(leaf, "shape") or leaf.ndim == 0:
+            return NamedSharding(mesh, P())
+        names = [p.key for p in path if hasattr(p, "key")]
+        leaf_name = names[-1] if names else ""
+        parts = [None] * leaf.ndim
+        if tp and ntp > 1:
+            col = any(m in names for m in _TP_COL_MODULES)
+            row = any(m in names for m in _TP_ROW_MODULES)
+            if col and leaf_name in ("kernel", "lora_b") \
+                    and leaf.shape[-1] % ntp == 0:
+                parts[-1] = TENSOR_AXIS
+            elif row and leaf_name in ("kernel", "lora_a") \
+                    and leaf.ndim >= 2 and leaf.shape[-2] % ntp == 0:
+                parts[-2] = TENSOR_AXIS
+        if pp and npp > 1 and "layers" in names \
+                and parts[0] is None and leaf.shape[0] % npp == 0:
+            parts[0] = PIPE_AXIS
+        if zero:
+            for d, size in enumerate(leaf.shape):
+                if parts[d] is None and size % nd == 0 and size >= nd:
+                    parts[d] = DATA_AXIS
+                    break
+        return NamedSharding(mesh, P(*parts))
+
+    return jax.tree_util.tree_map_with_path(spec, tree)
+
+
+def place_train_state(state, mesh: Mesh, zero_params: bool = False,
+                      tp: bool = False, pp: bool = False):
     """device_put a TrainState in ONE pass with its final shardings
-    (params/EMA replicated, optimizer state ZeRO-sharded over 'data').
-    A replicate-then-reshard two-step would transiently materialise the
-    full optimizer state on every device — an OOM in exactly the regime
-    ZeRO exists for.
+    (params/EMA replicated unless tp/pp/ZeRO-3 shard them; optimizer state
+    always ZeRO-sharded over 'data'). A replicate-then-reshard two-step
+    would transiently materialise the full optimizer state on every device
+    — an OOM in exactly the regime ZeRO exists for.
 
     ``zero_params`` (ZeRO-3, MeshConfig.zero_params): params and EMA are
     ALSO sharded over 'data' at rest; the SPMD partitioner inserts the
     per-use all-gathers inside the step, trading a layer's gather traffic
     for holding only 1/data of every weight — the GSPMD form of the
     reference's DeepSpeed stage-3 partitioning
-    (LVM/acceleration/config/stage3_offload_bf16_dp.json)."""
-    repl = replicated(mesh)
-    shardings = jax.tree.map(lambda _: repl, state,
-                             is_leaf=lambda x: hasattr(x, "shape"))
-    shardings = shardings._replace(
-        opt_state=zero_sharding(state.opt_state, mesh))
-    if zero_params:
-        shardings = shardings._replace(
-            params=zero_sharding(state.params, mesh))
-        if state.ema_params is not None:
-            shardings = shardings._replace(
-                ema_params=zero_sharding(state.ema_params, mesh))
+    (LVM/acceleration/config/stage3_offload_bf16_dp.json).
+
+    ``tp`` / ``pp``: Megatron / GPipe placement (see :func:`param_specs`);
+    params, EMA AND the optimizer moments follow the same layout."""
+    pspec = param_specs(state.params, mesh, tp=tp, pp=pp, zero=zero_params)
+    shardings = state._replace(
+        step=replicated(mesh),
+        params=pspec,
+        opt_state=param_specs(state.opt_state, mesh, tp=tp, pp=pp,
+                              zero=True),
+        ema_params=(param_specs(state.ema_params, mesh, tp=tp, pp=pp,
+                                zero=zero_params)
+                    if state.ema_params is not None else None))
     return jax.device_put(state, shardings)
 
 
 def constrain_cache(cache, enable: bool = True):
-    """KVCache [layers, B, H_kv, L, Dp]: shard the HEADS over ``seq`` —
-    head-sharded at rest, so the decode step's all_to_alls only ever move
-    the tail (parallel.ulysses.ulysses_attend_cached). No-op off-mesh."""
+    """KVCache [layers, B, H_kv, L, Dp]: shard the HEADS over
+    ``(tensor, seq)`` (tensor-major) — head-sharded at rest, so the decode
+    step's all_to_alls only ever move the tail
+    (parallel.ulysses.ulysses_attend_cached) and each tensor shard holds
+    only its own heads. Tensor-major matches the all_to_all's head
+    grouping: the a2a over 'seq' splits the LOCAL (per-tensor-shard) head
+    block, so global head = tensor-block major, seq-chunk minor. No-op
+    off-mesh."""
     if not enable or not _mesh_active():
         return cache
-    spec = P(None, None, SEQ_AXIS, None, None)
+    axes = tuple(a for a in (TENSOR_AXIS, SEQ_AXIS) if axis_size(a) > 1)
+    head_part = axes if len(axes) > 1 else (axes[0] if axes else None)
+    spec = P(None, None, head_part, None, None)
     return type(cache)(*(jax.lax.with_sharding_constraint(x, spec)
                          for x in cache))
 

@@ -33,7 +33,7 @@ import jax.numpy as jnp
 from jax.sharding import PartitionSpec as P
 
 from ..ops.attention import AttnMeta, visibility
-from .mesh import DATA_AXIS, SEQ_AXIS
+from .mesh import DATA_AXIS, SEQ_AXIS, TENSOR_AXIS
 from .ulysses import active_seq_degree
 
 
@@ -180,12 +180,19 @@ def ring_attend(q, k, v, q_meta: AttnMeta, k_meta: AttnMeta,
     to the plain local call off-mesh, like ulysses_attend)."""
     sp = active_seq_degree()
     if sp == 1:
-        from ..ops.attention import attend
-        return attend(q, k, v, q_meta, k_meta, impl=impl)
+        # tp-only meshes route through the head-parallel shard_map (ulysses
+        # with sp=1 degenerates to exactly that); off-mesh it is the plain
+        # local call
+        from .ulysses import ulysses_attend
+        return ulysses_attend(q, k, v, q_meta, k_meta, impl=impl)
 
     mesh = jax.sharding.get_abstract_mesh()
     b, lq, h, d = q.shape
     lk, hkv = k.shape[1], k.shape[2]
+    tp = int(mesh.shape.get(TENSOR_AXIS, 1))
+    if h % tp or hkv % tp:
+        raise ValueError(f"heads ({h}/{hkv}) not divisible by tensor "
+                         f"axis {tp}")
     if lq % sp or lk % sp:
         raise ValueError(f"ring SP={sp} needs sequence lengths divisible by "
                          f"the seq axis (got Lq={lq}, Lk={lk})")
@@ -201,7 +208,8 @@ def ring_attend(q, k, v, q_meta: AttnMeta, k_meta: AttnMeta,
         return _ring(sp, use_pallas, q, k, v, *tuple(q_meta),
                      *tuple(k_meta))
 
-    qkv_spec = P(DATA_AXIS, SEQ_AXIS, None, None)
+    from .mesh import maybe_axis
+    qkv_spec = P(DATA_AXIS, SEQ_AXIS, maybe_axis(TENSOR_AXIS, mesh), None)
     meta_spec = lambda tree: jax.tree.map(
         lambda _: P(DATA_AXIS, SEQ_AXIS), tree)
     return jax.shard_map(

@@ -27,7 +27,7 @@ from typing import Callable, Optional
 import jax
 from jax.sharding import PartitionSpec as P
 
-from .mesh import DATA_AXIS, SEQ_AXIS
+from .mesh import DATA_AXIS, SEQ_AXIS, TENSOR_AXIS, maybe_axis
 
 
 def active_seq_degree() -> int:
@@ -35,6 +35,18 @@ def active_seq_degree() -> int:
     mesh = jax.sharding.get_abstract_mesh()
     try:
         return int(mesh.shape.get(SEQ_AXIS, 1))
+    except Exception:
+        return 1
+
+
+def _tp_degree(mesh) -> int:
+    """Size of the mesh's ``tensor`` axis (1 when absent): Megatron TP
+    composes with Ulysses by ALSO sharding the head dims over 'tensor' —
+    the a2a over 'seq' then swaps seq<->the LOCAL head block, so global
+    head order is tensor-major, seq-chunk minor (exactly the KV-cache
+    rest layout, mesh.constrain_cache)."""
+    try:
+        return int(mesh.shape.get(TENSOR_AXIS, 1))
     except Exception:
         return 1
 
@@ -81,17 +93,19 @@ def ulysses_attend_cached(q, k_new, v_new, cache_k, cache_v, q_meta, k_meta,
                       kv_heads_major=True)
 
     sp = active_seq_degree()
-    if sp == 1:
+    mesh = jax.sharding.get_abstract_mesh()
+    tp = _tp_degree(mesh)
+    if sp == 1 and tp == 1:
         k = jnp.concatenate([cache_k.astype(k_new.dtype), k_new], axis=2)
         v = jnp.concatenate([cache_v.astype(v_new.dtype), v_new], axis=2)
         return local_fn(q, k, v, q_meta, k_meta, bias)
 
-    mesh = jax.sharding.get_abstract_mesh()
     b, lq, h, _ = q.shape
     hkv = k_new.shape[1]
     dp = int(mesh.shape.get(DATA_AXIS, 1))
-    if h % sp or hkv % sp:
-        raise ValueError(f"heads ({h}/{hkv}) not divisible by seq axis {sp}")
+    if h % (sp * tp) or hkv % (sp * tp):
+        raise ValueError(f"heads ({h}/{hkv}) not divisible by "
+                         f"seq*tensor = {sp}*{tp}")
     if b % dp:
         raise ValueError(f"batch {b} not divisible by data axis {dp}")
     pad = -lq % sp
@@ -118,17 +132,26 @@ def ulysses_attend_cached(q, k_new, v_new, cache_k, cache_v, q_meta, k_meta,
                             tiled=True)
 
     def inner(q, kn, vn, ck, cv, q_meta, k_meta, bias):
-        q = a2a(q, split_axis=2, concat_axis=1)     # [b, Lq, h/sp, d]
-        kn = a2a(kn, split_axis=1, concat_axis=2)   # [b, hkv/sp, Lq, dp]
-        vn = a2a(vn, split_axis=1, concat_axis=2)
+        if sp > 1:
+            q = a2a(q, split_axis=2, concat_axis=1)   # [b, Lq, h/(sp*tp), d]
+            kn = a2a(kn, split_axis=1, concat_axis=2)  # [b, hkv/(sp*tp), Lq,]
+            vn = a2a(vn, split_axis=1, concat_axis=2)
         k = jnp.concatenate([ck.astype(kn.dtype), kn], axis=2)
         v = jnp.concatenate([cv.astype(vn.dtype), vn], axis=2)
         out = local_fn(q, k, v, q_meta, k_meta, bias)
-        return a2a(out, split_axis=1, concat_axis=2)
+        if sp > 1:
+            out = a2a(out, split_axis=1, concat_axis=2)
+        return out
 
-    q_spec = P(DATA_AXIS, SEQ_AXIS, None, None)
-    new_spec = P(DATA_AXIS, None, SEQ_AXIS, None)
-    cache_spec = P(DATA_AXIS, SEQ_AXIS, None, None)
+    # head dims carry 'tensor' too (Megatron TP x Ulysses; None when the
+    # mesh has no tensor axis). The CACHE heads are tensor-major,
+    # seq-minor — the order the a2a's local-head split produces.
+    tpax = maybe_axis(TENSOR_AXIS, mesh)
+    cache_heads = ((tpax, SEQ_AXIS) if tpax and sp > 1
+                   else (tpax if tpax else SEQ_AXIS))
+    q_spec = P(DATA_AXIS, SEQ_AXIS, tpax, None)
+    new_spec = P(DATA_AXIS, tpax, SEQ_AXIS, None)
+    cache_spec = P(DATA_AXIS, cache_heads, None, None)
     meta_spec = lambda tree: jax.tree.map(lambda _: P(DATA_AXIS, None), tree)
     bias_spec = jax.tree.map(
         lambda x: P(DATA_AXIS, *([None] * (x.ndim - 1))), bias)
@@ -164,16 +187,18 @@ def ulysses_attend(q, k, v, q_meta, k_meta, impl: str = "auto",
             return attend(q, k, v, qm, km, impl=impl, bias=b)
 
     sp = active_seq_degree()
-    if sp == 1:
+    mesh = jax.sharding.get_abstract_mesh()
+    tp = _tp_degree(mesh)
+    if sp == 1 and tp == 1:
         return local_fn(q, k, v, q_meta, k_meta, bias)
 
-    mesh = jax.sharding.get_abstract_mesh()
     import jax.numpy as jnp
     b, lq, h, _ = q.shape
     lk, hkv = k.shape[1], k.shape[2]
     dp = int(mesh.shape.get(DATA_AXIS, 1))
-    if h % sp or hkv % sp:
-        raise ValueError(f"heads ({h}/{hkv}) not divisible by seq axis {sp}")
+    if h % (sp * tp) or hkv % (sp * tp):
+        raise ValueError(f"heads ({h}/{hkv}) not divisible by "
+                         f"seq*tensor = {sp}*{tp}")
     if b % dp:
         raise ValueError(f"batch {b} not divisible by data axis {dp}")
     pad = -lq % sp
@@ -200,14 +225,18 @@ def ulysses_attend(q, k, v, q_meta, k_meta, impl: str = "auto",
                             tiled=True)
 
     def inner(q, k, v, q_meta, k_meta, bias):
-        # seq-sharded [b, l/sp, h, d] -> head-sharded [b, l, h/sp, d]
-        q = a2a(q, split_axis=2, concat_axis=1)
-        k = a2a(k, split_axis=2, concat_axis=1)
-        v = a2a(v, split_axis=2, concat_axis=1)
+        # seq-sharded [b, l/sp, h/tp, d] -> head-sharded [b, l, h/(sp*tp), d]
+        if sp > 1:
+            q = a2a(q, split_axis=2, concat_axis=1)
+            k = a2a(k, split_axis=2, concat_axis=1)
+            v = a2a(v, split_axis=2, concat_axis=1)
         out = local_fn(q, k, v, q_meta, k_meta, bias)
-        return a2a(out, split_axis=1, concat_axis=2)
+        if sp > 1:
+            out = a2a(out, split_axis=1, concat_axis=2)
+        return out
 
-    qkv_spec = P(DATA_AXIS, SEQ_AXIS, None, None)
+    tpax = maybe_axis(TENSOR_AXIS, mesh)
+    qkv_spec = P(DATA_AXIS, SEQ_AXIS, tpax, None)
     meta_spec = lambda tree: jax.tree.map(lambda _: P(DATA_AXIS, None), tree)
     bias_spec = jax.tree.map(
         lambda x: P(DATA_AXIS, *([None] * (x.ndim - 1))), bias)

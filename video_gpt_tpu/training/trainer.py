@@ -56,17 +56,25 @@ class Trainer:
         self.mesh = None
         self._sp = 1
         self._dp = 1
+        self._tp = 1
+        self._pp = 1
         self._zero_params = False
         if mesh_cfg is not None and mesh_cfg.num_devices > 1:
             from ..parallel.mesh import make_mesh
             self.mesh = make_mesh(mesh_cfg)
             self._sp = mesh_cfg.seq
             self._dp = mesh_cfg.data
+            self._tp = mesh_cfg.tensor
+            self._pp = mesh_cfg.pipe
             self._zero_params = mesh_cfg.zero_params
         overrides = {}
         if self._sp > 1:
             overrides["seq_shard"] = True
             overrides["sp_attention"] = train_cfg.sp_attention
+        if self._tp > 1 and model_cfg.tensor_parallel != self._tp:
+            # Megatron TP: static (layout-affecting) — the model must be
+            # built for the mesh's tensor degree (parallel/tensor.py)
+            overrides["tensor_parallel"] = self._tp
         if train_cfg.gradient_checkpointing and not model_cfg.remat:
             overrides["remat"] = True
         if train_cfg.use_lora and not model_cfg.lora_rank:
@@ -132,7 +140,8 @@ class Trainer:
             return state
         from ..parallel.mesh import place_train_state
         return place_train_state(state, self.mesh,
-                                 zero_params=self._zero_params)
+                                 zero_params=self._zero_params,
+                                 tp=self._tp > 1, pp=self._pp > 1)
 
     def _shard_batch(self, tb: TrainBatch) -> TrainBatch:
         """[B, L] token arrays over (data, seq); pixel rows over data."""
@@ -196,14 +205,12 @@ class Trainer:
             # the ~7.6G base into the program as a constant at 3.8B scale)
             self._base_params = self._init_params
             if self.mesh is not None:
-                # place on the mesh like the trainable params: replicated,
-                # or data-sharded at rest under ZeRO-3
-                from ..parallel.mesh import replicated, zero_sharding
-                sh = (zero_sharding(self._base_params, self.mesh)
-                      if self._zero_params else jax.tree.map(
-                          lambda _: replicated(self.mesh),
-                          self._base_params,
-                          is_leaf=lambda x: hasattr(x, "shape")))
+                # place on the mesh like the trainable params: tp/pp layout
+                # applied, data-sharded at rest under ZeRO-3
+                from ..parallel.mesh import param_specs
+                sh = param_specs(self._base_params, self.mesh,
+                                 tp=self._tp > 1, pp=self._pp > 1,
+                                 zero=self._zero_params)
                 self._base_params = jax.device_put(self._base_params, sh)
             inner = (lambda state, base, r, inputs:
                      lora_step(state, base, r, inputs))
