@@ -72,6 +72,7 @@ def cmd_train(args):
         use_lora=args.use_lora,
         lora_rank=args.lora_rank,
         sp_attention=args.sp_attention,
+        pp_microbatches=args.pp_microbatches,
         cls_weight=args.cls_weight,
         input_output_return=args.input_output_return,
         offload_optimizer=args.offload_optimizer,
@@ -133,10 +134,11 @@ def cmd_train(args):
         except Exception:
             pass
     mesh_cfg = None
-    if args.mesh_data * args.mesh_seq * args.mesh_tensor > 1:
+    if args.mesh_data * args.mesh_seq * args.mesh_tensor * args.mesh_pipe \
+            > 1:
         from .config import MeshConfig
         mesh_cfg = MeshConfig(data=args.mesh_data, seq=args.mesh_seq,
-                              tensor=args.mesh_tensor,
+                              tensor=args.mesh_tensor, pipe=args.mesh_pipe,
                               zero_params=args.zero3)
     trainer = Trainer(
         _model_cfg(args), cfg, args.video_dir_path,
@@ -702,6 +704,13 @@ def build_parser() -> argparse.ArgumentParser:
                    help="Megatron tensor-parallel mesh axis: heads/MLP "
                         "features sharded over 'tensor' (a TPU-native "
                         "addition; the reference has no TP)")
+    t.add_argument("--mesh_pipe", type=int, default=1,
+                   help="GPipe pipeline-parallel mesh axis: the layer "
+                        "stack staged over 'pipe', microbatches flowing "
+                        "over ppermute (composes with --mesh_data)")
+    t.add_argument("--pp_microbatches", type=int, default=0,
+                   help="microbatches per step when --mesh_pipe > 1 "
+                        "(0 = pipe degree; more shrinks the bubble)")
     t.add_argument("--sp_attention", default="ulysses",
                    choices=["ulysses", "ring"],
                    help="SP mechanism when --mesh_seq > 1: Ulysses "

@@ -160,6 +160,10 @@ class TrainConfig:
     gradient_checkpointing: bool = True
     sp_attention: str = "ulysses"  # mechanism when mesh seq > 1:
                                    # 'ulysses' | 'ring' (see ModelConfig)
+    # GPipe microbatches per step when mesh pipe > 1 (0 = the pipe degree;
+    # more microbatches shrink the bubble: pp-1 of nm+pp-1 ticks are idle
+    # per stage). Global batch rows must be divisible by it.
+    pp_microbatches: int = 0
     # loss (LVM/train_helper/loss.py:116-119; train_x1_stage1:594)
     input_noise: float = 0.9
     cls_weight: Optional[float] = None

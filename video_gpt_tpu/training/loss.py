@@ -71,6 +71,10 @@ def training_loss(
     prediction_target: str = "x1",  # 'x1' (video path) | 'velocity'
                                     # (OmniGen family: ut = x1 - x0,
                                     # OmniGen/train_helper/loss.py:40-45)
+    apply_fn=None,  # forward override with model.apply's signature
+                    # (params, batch, xt, t, clean, input_output_return=...)
+                    # — e.g. the pipeline-parallel trunk
+                    # (parallel.pipeline.pp_apply)
 ):
     """Returns (scalar loss, aux dict with per-frame losses). ``max_blocks``
     is static (from the layout) — the timestep table is [rows, max_blocks]."""
@@ -92,11 +96,12 @@ def training_loss(
     else:
         clean_in = clean
 
+    call = model.apply if apply_fn is None else apply_fn
     if input_output_return:
-        pred, clean_pred = model.apply(
+        pred, clean_pred = call(
             params, inputs.batch, xt, t, clean_in, input_output_return=True)
     else:
-        pred = model.apply(params, inputs.batch, xt, t, clean_in)
+        pred = call(params, inputs.batch, xt, t, clean_in)
 
     target = x1 if prediction_target == "x1" else (x1 - x0)
     diff = target.astype(jnp.float32) - pred.astype(jnp.float32)

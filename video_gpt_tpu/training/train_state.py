@@ -128,12 +128,16 @@ def make_lora_train_step(model: VideoGPT, cfg: TrainConfig,
 
 
 def make_train_step(model: VideoGPT, cfg: TrainConfig, max_blocks: int,
-                    prediction_target: str = "x1") -> Callable:
+                    prediction_target: str = "x1",
+                    apply_fn=None) -> Callable:
     """Jittable (state, rng, inputs) -> (state, metrics).
 
     ``prediction_target='velocity'`` selects the OmniGen-family target
     ``ut = x1 - x0`` (OmniGen/train_helper/loss.py:40-45) for the image
-    generation path; the video path trains on x1-prediction."""
+    generation path; the video path trains on x1-prediction.
+
+    ``apply_fn`` overrides the forward (model.apply's signature) — the
+    pipeline-parallel trunk (parallel.pipeline.pp_apply) plugs in here."""
     tx = make_optimizer(cfg)
 
     def step(state: TrainState, rng: jax.Array, inputs: LossInputs):
@@ -142,7 +146,7 @@ def make_train_step(model: VideoGPT, cfg: TrainConfig, max_blocks: int,
                 model, {"params": p}, rng, inputs, max_blocks=max_blocks,
                 input_noise=cfg.input_noise,
                 input_output_return=cfg.input_output_return,
-                prediction_target=prediction_target)
+                prediction_target=prediction_target, apply_fn=apply_fn)
 
         inner = state.params["params"]
         (loss, aux), grads = jax.value_and_grad(loss_fn, has_aux=True)(inner)

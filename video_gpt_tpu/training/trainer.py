@@ -75,6 +75,19 @@ class Trainer:
             # Megatron TP: static (layout-affecting) — the model must be
             # built for the mesh's tensor degree (parallel/tensor.py)
             overrides["tensor_parallel"] = self._tp
+        if self._pp > 1:
+            if self._sp > 1 or self._tp > 1:
+                raise ValueError(
+                    "pipeline parallelism composes with data parallelism "
+                    "only (the stage body is local math); use tp/sp "
+                    "without pp for those regimes")
+            if train_cfg.use_lora:
+                raise ValueError("LoRA fine-tuning does not route through "
+                                 "the pipeline trunk; use dp/ZeRO for LoRA")
+            if model_cfg.num_layers % self._pp:
+                raise ValueError(
+                    f"num_layers={model_cfg.num_layers} not divisible by "
+                    f"the pipe axis {self._pp}")
         if train_cfg.gradient_checkpointing and not model_cfg.remat:
             overrides["remat"] = True
         if train_cfg.use_lora and not model_cfg.lora_rank:
@@ -215,8 +228,25 @@ class Trainer:
             inner = (lambda state, base, r, inputs:
                      lora_step(state, base, r, inputs))
         else:
+            apply_fn = None
+            if self._pp > 1:
+                # GPipe trunk: the layer stack is staged over 'pipe' and
+                # microbatches flow over ppermute (parallel/pipeline.py)
+                import functools
+                from ..parallel.pipeline import pp_apply
+                nm = self.cfg.pp_microbatches or self._pp
+                if self.cfg.batch_size_per_device % nm:
+                    # rows shard over 'data', so each data shard must hold
+                    # whole microbatches: per-device rows % microbatches
+                    raise ValueError(
+                        f"batch_size_per_device="
+                        f"{self.cfg.batch_size_per_device} not divisible "
+                        f"by pp_microbatches={nm}")
+                apply_fn = functools.partial(pp_apply, self.model,
+                                             num_micro=nm)
             state = init_train_state(self.model, self._init_params, self.cfg)
-            raw_step = make_train_step(self.model, self.cfg, max_blocks)
+            raw_step = make_train_step(self.model, self.cfg, max_blocks,
+                                       apply_fn=apply_fn)
             self._base_params = None
             inner = lambda state, base, r, inputs: raw_step(state, r, inputs)
         vae = self.vae
