@@ -133,6 +133,35 @@ def test_image_gen_trainer_mesh(json_dataset, tmp_path):
     assert any(sharded), "no optimizer-state leaf sharded over 'data'"
 
 
+def test_image_gen_trainer_tensor_parallel(json_dataset, tmp_path):
+    """Image-gen training over a (data=2, tensor=2) mesh: the model flips
+    to the TP-grouped layout and the fused kernels shard over 'tensor'."""
+    if len(jax.devices()) < 4:
+        pytest.skip("needs fake CPU devices")
+    jf, root = json_dataset
+    from video_gpt_tpu.config import MeshConfig
+    from video_gpt_tpu.parallel.mesh import TENSOR_AXIS
+    from video_gpt_tpu.training.image_trainer import ImageGenTrainer
+    mcfg = ModelConfig.tiny(attn_impl="reference", pos_embed_max_size=8)
+    tcfg = TrainConfig(mixed_precision="no", gradient_checkpointing=False,
+                       batch_size_per_device=1, log_every=1, ckpt_every=100,
+                       lr=1e-3, lr_warmup_steps=1, auto_resume=False,
+                       results_dir=str(tmp_path / "results_tp"))
+    trainer = ImageGenTrainer(
+        mcfg, tcfg, jf, root, StubTokenizer(),
+        output_size=(32, 32), input_size=(32, 32),
+        condition_dropout_prob=0.5, max_input_images=1, pad_to=192,
+        vae_cfg=VAEConfig.tiny(), mesh_cfg=MeshConfig(data=2, tensor=2),
+        seed=3)
+    assert trainer.model_cfg.tensor_parallel == 2
+    state = trainer.run(max_steps=2)
+    assert int(state.step) == 2
+    qkv = state.params["params"]["llm"]["layers"]["self_attn"]["qkv_proj"][
+        "kernel"]
+    assert tuple(qkv.sharding.spec)[-1] == TENSOR_AXIS
+    assert np.isfinite(float(jax.tree.leaves(state.params)[0].sum()))
+
+
 def test_image_gen_trainer_offload(json_dataset, tmp_path):
     """cfg.offload_optimizer through ImageGenTrainer (same contract as the
     video Trainer): steps advance, finite params, OffloadState count."""

@@ -47,6 +47,7 @@ def _training_setup(rows=2):
     return model, jax.tree.unflatten(treedef, leaves), batch, z, t, cl
 
 
+@pytest.mark.slow
 def test_pp_apply_matches_plain_forward_off_mesh():
     """pp == 1 (no mesh): pp_apply is numerically the plain forward."""
     model, params, batch, z, t, cl = _training_setup()
@@ -56,7 +57,8 @@ def test_pp_apply_matches_plain_forward_off_mesh():
                                atol=1e-5, rtol=1e-5)
 
 
-@pytest.mark.parametrize("num_micro", [2, None])
+@pytest.mark.parametrize(
+    "num_micro", [2, pytest.param(None, marks=pytest.mark.slow)])
 def test_pp_forward_parity(num_micro):
     """2-stage pipeline over a 'pipe' mesh == the plain forward."""
     model, params, batch, z, t, cl = _training_setup(rows=2)
@@ -117,6 +119,7 @@ def test_pp_remat_forward_parity():
                                atol=1e-5, rtol=1e-5)
 
 
+@pytest.mark.slow
 def test_pp_rejects_tp_and_sp():
     import dataclasses
     model, params, batch, z, t, cl = _training_setup(rows=2)

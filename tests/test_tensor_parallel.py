@@ -193,6 +193,7 @@ def test_tp_cached_decode_parity():
                                atol=2e-5, rtol=2e-5)
 
 
+@pytest.mark.slow
 def test_tp_with_ulysses_forward_parity():
     """TP x SP on a (1, 2, 2) mesh: heads sharded over BOTH axes, the a2a
     over 'seq' swapping within each tensor shard."""

@@ -585,9 +585,10 @@ def cmd_train_image(args):
         except Exception:
             pass
     mesh_cfg = None
-    if args.mesh_data * args.mesh_seq > 1:
+    if args.mesh_data * args.mesh_seq * args.mesh_tensor > 1:
         from .config import MeshConfig
         mesh_cfg = MeshConfig(data=args.mesh_data, seq=args.mesh_seq,
+                              tensor=args.mesh_tensor,
                               zero_params=args.zero3)
     trainer = ImageGenTrainer(
         _model_cfg(args), cfg, args.json_file, args.image_root, tokenizer,
@@ -860,6 +861,8 @@ def build_parser() -> argparse.ArgumentParser:
                     help="data-parallel mesh axis (batch rows + ZeRO)")
     ti.add_argument("--mesh_seq", type=int, default=1,
                     help="sequence-parallel mesh axis")
+    ti.add_argument("--mesh_tensor", type=int, default=1,
+                    help="Megatron tensor-parallel mesh axis")
     ti.add_argument("--tiny_model", action="store_true")
     ti.add_argument("--report_to", default="none",
                     choices=["none", "tensorboard"])

@@ -57,17 +57,24 @@ class ImageGenTrainer:
         self.mesh = None
         self._dp = 1
         self._sp = 1
+        self._tp = 1
         self._zero_params = False
         if mesh_cfg is not None and mesh_cfg.num_devices > 1:
             from ..parallel.mesh import make_mesh
+            if mesh_cfg.pipe > 1:
+                raise ValueError("pipeline parallelism is wired for the "
+                                 "video Trainer; use dp/sp/tensor here")
             self.mesh = make_mesh(mesh_cfg)
             self._dp = mesh_cfg.data
             self._sp = mesh_cfg.seq
+            self._tp = mesh_cfg.tensor
             self._zero_params = mesh_cfg.zero_params
         overrides = {}
         if self._sp > 1:
             overrides["seq_shard"] = True
             overrides["sp_attention"] = train_cfg.sp_attention
+        if self._tp > 1 and model_cfg.tensor_parallel != self._tp:
+            overrides["tensor_parallel"] = self._tp
         if train_cfg.gradient_checkpointing and not model_cfg.remat:
             overrides["remat"] = True
         if overrides:
@@ -115,12 +122,14 @@ class ImageGenTrainer:
                                  token_ids=self.model_cfg.token_ids)
 
     def _place_state(self, state: TrainState) -> TrainState:
-        """Params replicated; optimizer state ZeRO-sharded over 'data'."""
+        """Params replicated (Megatron-sharded under tp); optimizer state
+        ZeRO-sharded over 'data'."""
         if self.mesh is None:
             return state
         from ..parallel.mesh import place_train_state
         return place_train_state(state, self.mesh,
-                                 zero_params=self._zero_params)
+                                 zero_params=self._zero_params,
+                                 tp=self._tp > 1)
 
     def _shard_batch(self, tb: ImageGenTrainBatch) -> ImageGenTrainBatch:
         """[B, L] token arrays over (data, seq); image rows over data."""
