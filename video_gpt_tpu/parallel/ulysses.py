@@ -136,9 +136,19 @@ def ulysses_attend_cached(q, k_new, v_new, cache_k, cache_v, q_meta, k_meta,
             q = a2a(q, split_axis=2, concat_axis=1)   # [b, Lq, h/(sp*tp), d]
             kn = a2a(kn, split_axis=1, concat_axis=2)  # [b, hkv/(sp*tp), Lq,]
             vn = a2a(vn, split_axis=1, concat_axis=2)
-        k = jnp.concatenate([ck.astype(kn.dtype), kn], axis=2)
-        v = jnp.concatenate([cv.astype(vn.dtype), vn], axis=2)
-        out = local_fn(q, k, v, q_meta, k_meta, bias)
+        if bias is not None and hasattr(bias, "rank"):
+            # columnar decode: the split kernels consume the LOCAL cache and
+            # tail as separate operands — no per-layer-per-step concat copy
+            # of the sharded cache (same routing as the single-device path,
+            # ops.attention.attend_decode_split; falls back internally off
+            # the Pallas paths)
+            from ..ops.attention import attend_decode_split
+            out = attend_decode_split(q, ck, cv, kn, vn, q_meta, k_meta,
+                                      bias, impl=impl)
+        else:
+            k = jnp.concatenate([ck.astype(kn.dtype), kn], axis=2)
+            v = jnp.concatenate([cv.astype(vn.dtype), vn], axis=2)
+            out = local_fn(q, k, v, q_meta, k_meta, bias)
         if sp > 1:
             out = a2a(out, split_axis=1, concat_axis=2)
         return out
