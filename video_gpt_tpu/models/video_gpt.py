@@ -266,7 +266,9 @@ class VideoGPT(nn.Module):
         meta_p = AttnMeta(*(x[:, :lp] for x in batch.meta))
         _, cache = self.llm(emb, batch.pos_ids[:, :lp], meta_p, meta_p,
                             bias=self._maybe_bias(meta_p, meta_p))
-        if self.cfg.seq_shard:
+        if self.cfg.seq_shard or self.cfg.tensor_parallel > 1:
+            # at-rest head sharding (tensor-major x seq-minor): each shard
+            # holds only its own heads' prefix keys
             from ..parallel.mesh import constrain_cache
             cache = constrain_cache(cache)
         return cache
@@ -306,7 +308,7 @@ class VideoGPT(nn.Module):
         # heads-major stacked cache [layers, B, H_kv, L, D]: append along L
         grown = KVCache(jnp.concatenate([cache.k, new_kv.k], axis=3),
                         jnp.concatenate([cache.v, new_kv.v], axis=3))
-        if self.cfg.seq_shard:
+        if self.cfg.seq_shard or self.cfg.tensor_parallel > 1:
             from ..parallel.mesh import constrain_cache
             grown = constrain_cache(grown)
         return grown
