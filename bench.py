@@ -164,7 +164,9 @@ def main():
             return model.apply(params, batch, z, t, cache, tail, dm,
                                method=VideoGPT.decode)
 
-        return sample(z0, denoise, sched, use_cfg=True, cfg_scale=1.5)
+        # sched_ref: the padded batch structurally evaluates both CFG rows
+        # every step (see mode selection below)
+        return sample(z0, denoise, sched_ref, use_cfg=True, cfg_scale=1.5)
 
     @jax.jit
     def uncached_clip(params, clean, z0):
@@ -173,7 +175,8 @@ def main():
         def denoise(z, t):
             return model.apply(params, batch, z, t, clean)
 
-        return sample(z0, denoise, sched, use_cfg=True, cfg_scale=1.5)
+        # the baseline is the reference's algorithm: always-CFG semantics
+        return sample(z0, denoise, sched_ref, use_cfg=True, cfg_scale=1.5)
 
     # separate-CFG measured faster than the batched B=2 pair on v5e (4.73s
     # vs 5.26s p50): XLA overlaps the two independent programs, hiding the
@@ -183,6 +186,14 @@ def main():
         cached_clip = cached_clip_separate
         z0_fast = z0[:N_GEN]
     else:
+        # the padded CFG batch evaluates BOTH rows at every step — interval/
+        # refresh schedules cannot skip half a batch (ImageGenPipeline
+        # raises for the same combination), so batched mode runs and
+        # REPORTS always-CFG semantics regardless of the schedule knobs
+        if CFG_INTERVAL is not None or UNCOND_REFRESH != 1:
+            import sys
+            print("BENCH_CFG_MODE=batched runs always-CFG semantics; "
+                  "ignoring cfg_interval/uncond_refresh", file=sys.stderr)
         cached_clip = cached_clip_batched
         z0_fast = jnp.concatenate([z0[:N_GEN], z0[:N_GEN]], axis=0)
     from video_gpt_tpu.utils.profiling import force_ready
@@ -197,17 +208,18 @@ def main():
         return median(ts)
 
     t_serving = bench_fn(cached_clip, z0_fast, REPS)
-    ref_semantics = CFG_INTERVAL is None and UNCOND_REFRESH == 1
-    if ref_semantics or mode != "separate":
-        # batched mode measures the requested schedule only; always-CFG
-        # rides the separate path below when it differs
-        t_always = t_serving if ref_semantics else None
+    # what actually ran: batched mode is always-CFG by construction
+    eff_ival, eff_refresh = ((CFG_INTERVAL, UNCOND_REFRESH)
+                             if mode == "separate" else (None, 1))
+    ref_semantics = eff_ival is None and eff_refresh == 1
+    if ref_semantics:
+        t_always = t_serving
     else:
         t_always = bench_fn(make_cached_separate(sched_ref),
                             z0[:N_GEN], REPS)
     t_uncached = bench_fn(uncached_clip, z0, max(REPS - 1, 1))
 
-    drift = frontier_drift(CFG_INTERVAL, UNCOND_REFRESH, STEPS)
+    drift = frontier_drift(eff_ival, eff_refresh, STEPS)
     out = {
         "metric": "generated frames/sec/chip (16-frame clip prediction, "
                   f"{N_CLEAN}-frame condition, {STEPS} steps, 176x320, CFG)",
@@ -215,8 +227,8 @@ def main():
         "unit": "frames/s/chip",
         "vs_baseline": round(t_uncached / t_serving, 3),
         "p50_latency_s": round(t_serving, 4),
-        "serving_schedule": {"cfg_interval": CFG_INTERVAL,
-                             "uncond_refresh": UNCOND_REFRESH},
+        "serving_schedule": {"cfg_interval": eff_ival,
+                             "uncond_refresh": eff_refresh},
         "serving_drift_rel_latent_mse": drift,
         "baseline_note": "vs_baseline = speedup over the reference's "
                          "no-KV-cache full-recompute algorithm on the same "

@@ -63,7 +63,12 @@ DEFAULT_SWEEP = (
     # fewer-step schedules (ask: frames/s-vs-drift frontier)
     "steps=8;steps=8,ival=0.15:0.7;steps=8,ival=0.15:0.7,k=2;"
     "steps=6;steps=6,ival=0.15:0.7;steps=6,shift=1.5,ival=0.15:0.7;"
-    "steps=5,ival=0.15:0.7;steps=5,shift=1.5,ival=0.15:0.7"
+    "steps=5,ival=0.15:0.7;steps=5,shift=1.5,ival=0.15:0.7;"
+    # fewer-step x uncond-refresh (no interval) — the frontier points
+    # bench_suite's serving_frontier legs and the README cite; the sweep
+    # must regenerate EVERY row of artifacts/drift_frontier_r04.jsonl
+    "steps=8,k=2;steps=8,k=3;steps=6,k=2;steps=6,k=3;steps=6,shift=1.5,k=2;"
+    "steps=5,k=2;steps=5,k=3"
 )
 SCHEDULES = os.environ.get("SCHEDULES", DEFAULT_SWEEP)
 

@@ -480,6 +480,12 @@ def cmd_generate_image(args):
         params, _ = _restore_train_params(
             args.checkpoint_dir, model_cfg, step=args.step, ema=args.ema,
             cast_dtype=dtype)
+        # a `train-image --mesh_tensor` run stores the TP-grouped fused
+        # layout — convert to this (tp=1) model's standard layout, like
+        # every other checkpoint-consuming command
+        params = _convert_tp(params, model_cfg,
+                             _detect_ckpt_tp(args.checkpoint_dir),
+                             model_cfg.tensor_parallel)
     else:
         from .image_gen import TextRow, single_shot_layout
         from .models.video_gpt import Batch

@@ -148,6 +148,57 @@ def _kinds_from_flags(guided: Tuple[bool, ...], k: int) -> Tuple[str, ...]:
     return tuple(kinds)
 
 
+def _euler_fn(cfg: SchedulerConfig, sigmas: jax.Array):
+    """step update closure: (z, i, fp32 pred) -> next z (z's dtype)."""
+    def euler(z, i, pred):
+        sigma = sigmas[i]
+        zf = z.astype(jnp.float32)
+        if cfg.prediction_type == "x1":
+            v = (pred - zf) / (1.0 - sigma)
+        else:
+            v = pred
+        return (zf + (sigmas[i + 1] - sigma) * v).astype(z.dtype)
+    return euler
+
+
+def _scan_step_plan(cfg: SchedulerConfig, kinds: Tuple[str, ...], fns: dict,
+                    carry):
+    """Run the static per-step plan with O(1) compiled segments.
+
+    When the kind sequence has at most 3 contiguous runs (every k=1
+    schedule), each run is one ``lax.scan`` segment; otherwise
+    (uncond_refresh>1 alternates cfg/cfg_reuse, so per-run scans would
+    compile ~num_steps length-1 segments each embedding a full model
+    trace) ONE scan over all steps dispatches per step via ``lax.switch``
+    on the static kind-id array — each occurring kind's body is traced
+    exactly once and the TPU executes only the selected branch per step.
+    Kinds that never occur compile no forward at all."""
+    runs = []  # contiguous runs of equal kinds: (kind, start, end)
+    start = 0
+    while start < cfg.num_steps:
+        end = start
+        while end < cfg.num_steps and kinds[end] == kinds[start]:
+            end += 1
+        runs.append((kinds[start], start, end))
+        start = end
+    if len(runs) <= 3:
+        # at most 3 runs for an interval schedule; exactly 1 when
+        # cfg_interval=None and uncond_refresh=1
+        for kind, s, e in runs:
+            carry, _ = jax.lax.scan(fns[kind], carry, jnp.arange(s, e))
+        return carry
+    present = sorted({k for k, _, _ in runs})
+    branches = [
+        (lambda fn: lambda c, i: fn(c, i)[0])(fns[k]) for k in present]
+    kind_ids = jnp.asarray([present.index(k) for k in kinds], jnp.int32)
+
+    def body(c, i):
+        return jax.lax.switch(kind_ids[i], branches, c, i), None
+
+    carry, _ = jax.lax.scan(body, carry, jnp.arange(cfg.num_steps))
+    return carry
+
+
 def sample_separate_cfg(
     z0: jax.Array,
     denoise_pair_fn: Callable[[jax.Array, jax.Array],
@@ -185,15 +236,7 @@ def sample_separate_cfg(
                                         cfg.time_shifting_factor,
                                         cfg.begin_time))
     kinds = step_kinds(cfg)
-
-    def euler(z, i, pred):
-        sigma = sigmas[i]
-        zf = z.astype(jnp.float32)
-        if cfg.prediction_type == "x1":
-            v = (pred - zf) / (1.0 - sigma)
-        else:
-            v = pred
-        return (zf + (sigmas[i + 1] - sigma) * v).astype(z.dtype)
+    euler = _euler_fn(cfg, sigmas)
 
     def guide(z, i, cond, uncond):
         pred = (uncond.astype(jnp.float32)
@@ -231,35 +274,7 @@ def sample_separate_cfg(
 
     fns = {"cfg": step_cfg, "cfg_reuse": step_cfg_reuse, "cond": step_cond}
     carry = (z0, jnp.zeros_like(z0))
-    runs = []  # contiguous runs of equal kinds: (kind, start, end)
-    start = 0
-    while start < cfg.num_steps:
-        end = start
-        while end < cfg.num_steps and kinds[end] == kinds[start]:
-            end += 1
-        runs.append((kinds[start], start, end))
-        start = end
-    if len(runs) <= 3:
-        # one scan segment per run (at most 3 for an interval schedule;
-        # exactly 1 when cfg_interval=None and uncond_refresh=1)
-        for kind, s, e in runs:
-            carry, _ = jax.lax.scan(fns[kind], carry, jnp.arange(s, e))
-    else:
-        # uncond_refresh>1 alternates cfg/cfg_reuse: per-run scans would
-        # compile ~num_steps length-1 segments each embedding a full model
-        # trace. Instead: ONE scan, lax.switch on the static per-step kind
-        # id — each occurring kind's body is traced exactly once, and the
-        # TPU executes only the selected branch per step.
-        present = sorted({k for k, _, _ in runs})
-        branches = [
-            (lambda fn: lambda c, i: fn(c, i)[0])(fns[k]) for k in present]
-        kind_ids = jnp.asarray([present.index(k) for k in kinds], jnp.int32)
-
-        def body(c, i):
-            return jax.lax.switch(kind_ids[i], branches, c, i), None
-
-        carry, _ = jax.lax.scan(body, carry, jnp.arange(cfg.num_steps))
-    return carry[0]
+    return _scan_step_plan(cfg, kinds, fns, carry)[0]
 
 
 def sample_separate_multi(
@@ -295,15 +310,7 @@ def sample_separate_multi(
                                         cfg.time_shifting_factor,
                                         cfg.begin_time))
     kinds = step_kinds(cfg)
-
-    def euler(z, i, pred):
-        sigma = sigmas[i]
-        zf = z.astype(jnp.float32)
-        if cfg.prediction_type == "x1":
-            v = (pred - zf) / (1.0 - sigma)
-        else:
-            v = pred
-        return (zf + (sigmas[i + 1] - sigma) * v).astype(z.dtype)
+    euler = _euler_fn(cfg, sigmas)
 
     # carry = (z, tuple of cached aux-context predictions in z0's dtype)
     def step_cfg(carry, i):
@@ -328,28 +335,7 @@ def sample_separate_multi(
 
     fns = {"cfg": step_cfg, "cfg_reuse": step_cfg_reuse, "cond": step_cond}
     carry = (z0, tuple(jnp.zeros_like(z0) for _ in denoise_fns[1:]))
-    runs = []
-    start = 0
-    while start < cfg.num_steps:
-        end = start
-        while end < cfg.num_steps and kinds[end] == kinds[start]:
-            end += 1
-        runs.append((kinds[start], start, end))
-        start = end
-    if len(runs) <= 3:
-        for kind, s, e in runs:
-            carry, _ = jax.lax.scan(fns[kind], carry, jnp.arange(s, e))
-    else:
-        present = sorted({k for k, _, _ in runs})
-        branches = [
-            (lambda fn: lambda c, i: fn(c, i)[0])(fns[k]) for k in present]
-        kind_ids = jnp.asarray([present.index(k) for k in kinds], jnp.int32)
-
-        def body(c, i):
-            return jax.lax.switch(kind_ids[i], branches, c, i), None
-
-        carry, _ = jax.lax.scan(body, carry, jnp.arange(cfg.num_steps))
-    return carry[0]
+    return _scan_step_plan(cfg, kinds, fns, carry)[0]
 
 
 def add_noise_x1(x1: jax.Array, x0: jax.Array, t: jax.Array) -> jax.Array:
