@@ -73,6 +73,37 @@ def test_pp_forward_parity(num_micro):
 
 
 @pytest.mark.slow
+def test_pp4_forward_parity():
+    """4-stage pipeline (one layer per stage), microbatches > stages."""
+    import dataclasses
+    cfg = dataclasses.replace(ModelConfig.tiny(attn_impl="reference"),
+                              num_layers=4)
+    model = VideoGPT(cfg, dtype=jnp.float32, train_init=True)
+    n = tokens_per_frame(48, 48)
+    lay = build_layout([RowSpec((1, 2, 1), "training") for _ in range(4)],
+                       n)
+    batch = Batch.from_layout(lay)
+    nn_, nc = lay.num_noisy_frames, lay.num_clean_frames
+    z = jax.random.normal(jax.random.PRNGKey(3), (nn_, 6, 6, 4))
+    cl = jax.random.normal(jax.random.PRNGKey(4), (nc, 6, 6, 4))
+    t = jax.random.uniform(jax.random.PRNGKey(5), (nn_,))
+    params = model.init(jax.random.PRNGKey(1), batch, z, t, cl)
+    leaves, treedef = jax.tree.flatten(params)
+    rngs = jax.random.split(jax.random.PRNGKey(7), len(leaves))
+    params = jax.tree.unflatten(treedef, [
+        l + 0.02 * jax.random.normal(r, l.shape, l.dtype)
+        for l, r in zip(leaves, rngs)])
+    want = model.apply(params, batch, z, t, cl)
+    mesh = _mesh(pipe=4)
+    with jax.sharding.set_mesh(mesh):
+        p = jax.device_put(params, param_specs(params, mesh, pp=True))
+        got = jax.jit(lambda p, z, t, cl: pp_apply(
+            model, p, batch, z, t, cl, num_micro=4))(p, z, t, cl)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               atol=1e-5, rtol=1e-5)
+
+
+@pytest.mark.slow
 def test_pp_grad_parity():
     """Gradients through the ppermute pipeline == plain-forward gradients
     (ppermute transposes to the reverse permutation; the bubble's garbage

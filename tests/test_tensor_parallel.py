@@ -107,6 +107,26 @@ def test_tp_forward_parity(kv_heads):
                                atol=2e-5, rtol=2e-5)
 
 
+@pytest.mark.slow
+def test_tp4_forward_parity():
+    """tp=4: one head per shard (the degenerate extreme)."""
+    params, args, _ = _setup()
+    batch, z, t, cl = args
+    want = VideoGPT(_tiny(), dtype=jnp.float32).apply(params, batch, z, t,
+                                                      cl)
+    cfg4 = _tiny(tp=4)
+    params4 = tp_regroup_params(params, cfg4)
+    mesh = _mesh(tensor=4)
+    model4 = VideoGPT(cfg4, dtype=jnp.float32)
+    with jax.sharding.set_mesh(mesh):
+        params4 = jax.device_put(params4, param_specs(params4, mesh,
+                                                      tp=True))
+        got = jax.jit(lambda p, z, t, cl: model4.apply(p, batch, z, t, cl))(
+            params4, z, t, cl)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               atol=2e-5, rtol=2e-5)
+
+
 def test_tp_param_placement_rules():
     """The Megatron layout lands where it should: column-parallel kernels on
     the last dim, row-parallel on the contraction dim, norms replicated,
