@@ -77,6 +77,11 @@ def cmd_train(args):
         input_output_return=args.input_output_return,
         offload_optimizer=args.offload_optimizer,
         offload_grad_splits=args.offload_grad_splits,
+        distill=args.distill,
+        distill_student_steps=args.distill_student_steps,
+        distill_substeps=args.distill_substeps,
+        distill_time_shift=args.distill_time_shift,
+        distill_input_noise=args.distill_input_noise,
         lr_scheduler=args.lr_scheduler,
         lr_warmup_steps=args.lr_warmup_steps,
         gradient_accumulation_steps=args.gradient_accumulation_steps,
@@ -653,6 +658,24 @@ def build_parser() -> argparse.ArgumentParser:
                    help="backward passes per step (2 halves the live grad "
                         "accumulators in HBM for one forward recompute; "
                         "needed at 3.8B scale on a 16G chip)")
+    t.add_argument("--distill", action="store_true",
+                   help="progressive step-distillation (training/"
+                        "distill.py): regress onto the frozen teacher's "
+                        "multi-substep rollouts so the student serves at "
+                        "--distill_student_steps Euler steps. Teacher = "
+                        "the --init_checkpoint_dir/--model_ckpt weights; "
+                        "the student starts from them")
+    t.add_argument("--distill_student_steps", type=int, default=5,
+                   help="sampler step count the student is trained for")
+    t.add_argument("--distill_substeps", type=int, default=2,
+                   help="teacher Euler substeps per student step (2 = the "
+                        "classic halving round)")
+    t.add_argument("--distill_time_shift", type=float, default=1.0,
+                   help="sigma-grid time shift; must match the serving "
+                        "scheduler's time_shifting_factor")
+    t.add_argument("--distill_input_noise", type=float, default=1.0,
+                   help="conditioning-frame noise floor during "
+                        "distillation (1.0 = clean, the serving regime)")
     t.add_argument("--cls_weight", type=float, default=None)
     t.add_argument("--input_output_return", action="store_true")
     t.add_argument("--input_noise", type=float, default=0.9)

@@ -173,6 +173,20 @@ class TrainConfig:
     ema_decay: float = 0.9999
     use_lora: bool = False
     lora_rank: int = 8
+    # progressive step-distillation (training/distill.py): train the model
+    # to serve at `distill_student_steps` Euler steps by regressing onto a
+    # frozen teacher's `distill_substeps`-step rollouts (Salimans & Ho 2022,
+    # arXiv:2202.00512 adapted to x1-prediction). The teacher is the
+    # --init_checkpoint_dir / --model_ckpt weights; the student starts from
+    # them. `distill_time_shift` must match the serving
+    # SchedulerConfig.time_shifting_factor. Conditioning frames are fed
+    # clean (distill_input_noise=1) to match the serving regime
+    # (inference_nv.sh:35), unlike pretraining's U[0.9,1] robustness noise.
+    distill: bool = False
+    distill_student_steps: int = 5
+    distill_substeps: int = 2
+    distill_time_shift: float = 1.0
+    distill_input_noise: float = 1.0
     # host-offloaded AdamW (training/offload.py): f32 master/mu/nu in
     # pinned_host memory, update math as host compute — the single-chip
     # full-depth path, the TPU analogue of the reference's ZeRO-offload

@@ -199,8 +199,52 @@ class Trainer:
                 jnp.zeros((nn_,)), cl)
         max_blocks = self.cfg.frame_num
         if self.cfg.offload_optimizer:
+            if self.cfg.distill:
+                raise ValueError("distillation holds teacher+student trees; "
+                                 "it does not compose with the single-chip "
+                                 "offload path — use ZeRO over a mesh")
             return self._build_offload(max_blocks)
-        if self.cfg.use_lora:
+        apply_fn = None
+        if self._pp > 1:
+            # GPipe trunk: the layer stack is staged over 'pipe' and
+            # microbatches flow over ppermute (parallel/pipeline.py)
+            import functools
+            from ..parallel.pipeline import pp_apply
+            nm = self.cfg.pp_microbatches or self._pp
+            if self.cfg.batch_size_per_device % nm:
+                # rows shard over 'data', so each data shard must hold
+                # whole microbatches: per-device rows % microbatches
+                raise ValueError(
+                    f"batch_size_per_device="
+                    f"{self.cfg.batch_size_per_device} not divisible "
+                    f"by pp_microbatches={nm}")
+            apply_fn = functools.partial(pp_apply, self.model,
+                                         num_micro=nm)
+        if self.cfg.distill:
+            # progressive step-distillation (training/distill.py): the
+            # frozen teacher is the warm-start weights and rides the
+            # base-params argument slot; the student starts from a COPY
+            # (the jitted step donates the state, so aliasing the teacher's
+            # buffers into state.params would donate them away)
+            if self.cfg.use_lora:
+                raise ValueError("distillation trains the full student; "
+                                 "it does not compose with --use_lora")
+            from .distill import make_distill_train_step
+            copy = jax.jit(lambda x: x.copy())
+            student = jax.tree.map(copy, self._init_params)
+            state = init_train_state(self.model, student, self.cfg)
+            d_step = make_distill_train_step(self.model, self.cfg,
+                                             max_blocks, apply_fn=apply_fn)
+            self._base_params = self._init_params
+            if self.mesh is not None:
+                from ..parallel.mesh import param_specs
+                sh = param_specs(self._base_params, self.mesh,
+                                 tp=self._tp > 1, pp=self._pp > 1,
+                                 zero=self._zero_params)
+                self._base_params = jax.device_put(self._base_params, sh)
+            inner = (lambda state, base, r, inputs:
+                     d_step(state, base, r, inputs))
+        elif self.cfg.use_lora:
             # adapter-only fine-tuning: frozen base, LoRA tree in the state
             # (reference peft path, train_x1_stage1:204-223)
             from .lora import init_lora
@@ -228,22 +272,6 @@ class Trainer:
             inner = (lambda state, base, r, inputs:
                      lora_step(state, base, r, inputs))
         else:
-            apply_fn = None
-            if self._pp > 1:
-                # GPipe trunk: the layer stack is staged over 'pipe' and
-                # microbatches flow over ppermute (parallel/pipeline.py)
-                import functools
-                from ..parallel.pipeline import pp_apply
-                nm = self.cfg.pp_microbatches or self._pp
-                if self.cfg.batch_size_per_device % nm:
-                    # rows shard over 'data', so each data shard must hold
-                    # whole microbatches: per-device rows % microbatches
-                    raise ValueError(
-                        f"batch_size_per_device="
-                        f"{self.cfg.batch_size_per_device} not divisible "
-                        f"by pp_microbatches={nm}")
-                apply_fn = functools.partial(pp_apply, self.model,
-                                             num_micro=nm)
             state = init_train_state(self.model, self._init_params, self.cfg)
             raw_step = make_train_step(self.model, self.cfg, max_blocks,
                                        apply_fn=apply_fn)
