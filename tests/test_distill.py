@@ -91,7 +91,13 @@ def test_teacher_rollout_matches_sampler():
 def test_distill_step_closes_the_gap():
     """A student initialised from the teacher has a nonzero 2-substep gap;
     distillation steps shrink it. Teacher stays frozen (it rides as an
-    argument), EMA updates, step counts."""
+    argument), EMA updates, step counts.
+
+    lr=1e-3 here is the PRETRAINING lr; the distill recipe must override it
+    with distill_lr (default 1e-4) — at 1e-3 Adam's scale-invariant first
+    step blasts the near-converged student 80x off the teacher (measured)
+    and the gap never halves. This test therefore also pins the
+    continue-from-teacher LR guard."""
     layout, inputs = _inputs()
     model, teacher = _model_and_params(layout, inputs)
     tcfg = TrainConfig(lr=1e-3, lr_scheduler="constant", use_ema=True,
@@ -108,6 +114,29 @@ def test_distill_step_closes_the_gap():
     assert state.ema_params is not None
     assert int(state.step) == 8
     assert all(np.isfinite(losses)), losses
+
+
+@pytest.mark.slow
+def test_endpoint_weighting_is_landed_mse():
+    """distill_loss_weight='endpoint' must equal the MSE between the
+    student's landed one-Euler-step endpoint and the teacher's landed z':
+    per-frame w = ((s_next-s)/(1-s))^2 exactly cancels the target
+    inversion's amplification."""
+    layout, inputs = _inputs()
+    model, params = _model_and_params(layout, inputs)
+    # student = perturbed teacher so the losses are nonzero
+    _, student = _model_and_params(layout, inputs, seed=5)
+    kw = dict(max_blocks=3, student_steps=4, substeps=2)
+    lu, _ = distillation_loss(model, student, params, jax.random.PRNGKey(2),
+                              inputs, loss_weight="uniform", **kw)
+    le, _ = distillation_loss(model, student, params, jax.random.PRNGKey(2),
+                              inputs, loss_weight="endpoint", **kw)
+    # weights are in (0, 1], so the endpoint loss is strictly smaller but
+    # still a real signal
+    assert 0.0 < float(le) < float(lu)
+    with pytest.raises(ValueError, match="distill_loss_weight"):
+        distillation_loss(model, student, params, jax.random.PRNGKey(2),
+                          inputs, loss_weight="bogus", **kw)
 
 
 def test_distill_rejects_input_output_return():

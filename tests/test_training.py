@@ -111,6 +111,40 @@ def test_velocity_target_loss():
     assert abs(float(loss_x1) - float(loss_v)) > 1e-4
 
 
+@pytest.mark.slow
+def test_ema_accum_matches_accum1():
+    """EMA under gradient accumulation: feeding the SAME batch every
+    micro-step, accum=4 follows the same per-optimizer-step param trajectory
+    as accum=1 (MultiSteps averages identical grads), and the gated EMA
+    (train_state.ema_update_gated) must equal the accum=1 EMA after the same
+    number of COMPLETED optimizer steps — one decay per cycle, matching the
+    reference's per-cycle update (train_x1_stage1:406-408), not decay^4."""
+    layout, inputs = _inputs()
+    model = VideoGPT(CFG, dtype=jnp.float32, train_init=True)
+    params = model.init(jax.random.PRNGKey(0), inputs.batch, inputs.x1,
+                        jnp.zeros((layout.num_noisy_frames,)),
+                        inputs.clean_latents)
+    # aggressive decay so a double-decay bug is unmistakable
+    base = dict(lr=1e-3, lr_scheduler="constant", use_ema=True,
+                ema_decay=0.5)
+    cfg1 = TrainConfig(**base)
+    cfg4 = TrainConfig(**base, gradient_accumulation_steps=4)
+    s1 = init_train_state(model, jax.tree.map(jnp.copy, params), cfg1)
+    s4 = init_train_state(model, jax.tree.map(jnp.copy, params), cfg4)
+    step1 = jax.jit(make_train_step(model, cfg1, max_blocks=3))
+    step4 = jax.jit(make_train_step(model, cfg4, max_blocks=3))
+    for _ in range(2):
+        s1, _ = step1(s1, jax.random.PRNGKey(9), inputs)
+    for _ in range(8):  # 2 completed cycles
+        s4, _ = step4(s4, jax.random.PRNGKey(9), inputs)
+    jax.tree.map(lambda a, b: np.testing.assert_allclose(
+        np.asarray(a), np.asarray(b), rtol=1e-5, atol=1e-6),
+        s1.params, s4.params)
+    jax.tree.map(lambda a, b: np.testing.assert_allclose(
+        np.asarray(a), np.asarray(b), rtol=1e-5, atol=1e-6),
+        s1.ema_params, s4.ema_params)
+
+
 def test_graceful_shutdown_event():
     import os
     import signal

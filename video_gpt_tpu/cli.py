@@ -82,6 +82,9 @@ def cmd_train(args):
         distill_substeps=args.distill_substeps,
         distill_time_shift=args.distill_time_shift,
         distill_input_noise=args.distill_input_noise,
+        distill_lr=(None if args.distill_lr is not None
+                    and args.distill_lr < 0 else args.distill_lr),
+        distill_loss_weight=args.distill_loss_weight,
         lr_scheduler=args.lr_scheduler,
         lr_warmup_steps=args.lr_warmup_steps,
         gradient_accumulation_steps=args.gradient_accumulation_steps,
@@ -676,6 +679,18 @@ def build_parser() -> argparse.ArgumentParser:
     t.add_argument("--distill_input_noise", type=float, default=1.0,
                    help="conditioning-frame noise floor during "
                         "distillation (1.0 = clean, the serving regime)")
+    t.add_argument("--distill_lr", type=float, default=1e-4,
+                   help="peak LR of the distillation optimizer (overrides "
+                        "--lr; continue-from-teacher training needs ~10x "
+                        "below the pretraining LR or Adam's scale-"
+                        "invariant first step blasts the near-converged "
+                        "student). Pass a negative value to inherit --lr")
+    t.add_argument("--distill_loss_weight", default="uniform",
+                   choices=["uniform", "endpoint"],
+                   help="per-frame loss weighting across sigma-grid "
+                        "points: 'endpoint' = ((s_next-s)/(1-s))^2, i.e. "
+                        "MSE between landed endpoints, equalising "
+                        "gradient scale across the grid")
     t.add_argument("--cls_weight", type=float, default=None)
     t.add_argument("--input_output_return", action="store_true")
     t.add_argument("--input_noise", type=float, default=0.9)

@@ -187,6 +187,26 @@ class TrainConfig:
     distill_substeps: int = 2
     distill_time_shift: float = 1.0
     distill_input_noise: float = 1.0
+    # Continue-from-teacher training needs a far lower peak LR than
+    # pretraining: the student starts ~converged (loss ~= the teacher's own
+    # discretization gap), so Adam's scale-invariant first step at the
+    # pretraining LR (1e-4..1e-3) blasts it 10-100x off the teacher before
+    # slowly recovering (measured: lr=1e-3 spikes a tiny model 80x on step 1
+    # and never halves the gap in 8 steps; lr=1e-4 halves it by step 4).
+    # `distill_lr` overrides `lr` inside the distillation optimizer only;
+    # None inherits `lr` (for users who retuned it deliberately). Warmup
+    # still applies via lr_scheduler/lr_warmup_steps.
+    distill_lr: Optional[float] = 1e-4
+    # Per-frame loss weighting across grid points: the Euler-inversion
+    # target multiplies the teacher's landed endpoint by (1-s)/(s_next-s),
+    # which amplifies early-grid targets ~S_x relative to late ones, so plain
+    # MSE ("uniform", the Salimans & Ho-style default here — NOTE this
+    # deviates from the paper's truncated-SNR weighting) conditions grid
+    # points unevenly. "endpoint" weights each frame by
+    # ((s_next-s)/(1-s))^2, making the regression exactly the MSE between
+    # where the student's one Euler step LANDS and where the teacher's
+    # rollout landed — equal footing for every grid point.
+    distill_loss_weight: str = "uniform"
     # host-offloaded AdamW (training/offload.py): f32 master/mu/nu in
     # pinned_host memory, update math as host compute — the single-chip
     # full-depth path, the TPU analogue of the reference's ZeRO-offload

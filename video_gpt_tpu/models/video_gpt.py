@@ -202,13 +202,30 @@ class VideoGPT(nn.Module):
     def _assemble(self, ids, noisy_src, clean_src, time_src,
                   noisy_latents, t, clean_latents):
         emb = self.embed_tokens(ids)
+        if self.cfg.seq_shard or self.cfg.tensor_parallel > 1:
+            # Pin the token stream to the activation layout (data, seq, ·)
+            # at the embed gather and each scatter, and the VALUE streams
+            # to replicated: every (data, seq) shard takes arbitrary value
+            # rows, and without the anchors GSPMD's ZeRO-3 propagation
+            # offers the values feature-sharded over 'data' and falls back
+            # to "involuntary full rematerialization" (replicate +
+            # repartition per step) on the takes — observed on the (2,2,2)
+            # dp x sp x tp dryrun (MULTICHIP_r04).
+            from ..parallel.mesh import (constrain_activations,
+                                         constrain_replicated)
+        else:
+            constrain_activations = constrain_replicated = lambda x: x
+        emb = constrain_activations(emb)
         if noisy_latents is not None and noisy_latents.shape[0] > 0:
-            x = self._embed_frames(noisy_latents, is_input=False)
-            emb = _scatter(emb, noisy_src, x)
-            emb = _scatter(emb, time_src, self.time_token(t))
+            x = constrain_replicated(
+                self._embed_frames(noisy_latents, is_input=False))
+            emb = constrain_activations(_scatter(emb, noisy_src, x))
+            emb = constrain_activations(_scatter(
+                emb, time_src, constrain_replicated(self.time_token(t))))
         if _has_frames(clean_latents):
-            emb = _scatter(emb, clean_src,
-                           self._embed_clean_flat(clean_latents))
+            emb = constrain_activations(_scatter(
+                emb, clean_src,
+                constrain_replicated(self._embed_clean_flat(clean_latents))))
         return emb
 
     def _heads(self, hidden, gather, t, shape, aux=False):

@@ -207,3 +207,19 @@ def constrain_activations(x: jax.Array, enable: bool = True) -> jax.Array:
     if not enable or not _mesh_active():
         return x
     return jax.lax.with_sharding_constraint(x, P(DATA_AXIS, SEQ_AXIS, None))
+
+
+def constrain_replicated(x: jax.Array, enable: bool = True) -> jax.Array:
+    """Constrain to fully replicated when running under a mesh.
+
+    Used on the flat frame-token value streams feeding VideoGPT._assemble's
+    [B, L]-indexed takes: every (data, seq) shard of the token stream takes
+    arbitrary rows, so the values must be whole on each device — one
+    explicit all-gather here beats GSPMD's 'involuntary full
+    rematerialization' fallback (replicate + repartition EVERY step) that
+    the unannotated takes triggered on the dp x sp x tp mesh
+    (MULTICHIP_r04: ZeRO-3 propagation offered the values feature-sharded
+    over 'data')."""
+    if not enable or not _mesh_active():
+        return x
+    return jax.lax.with_sharding_constraint(x, P())

@@ -45,6 +45,7 @@ robustness noise U[0.9, 1] (loss.py:116-119).
 """
 from __future__ import annotations
 
+import dataclasses
 from typing import Callable, Optional
 
 import jax
@@ -55,7 +56,7 @@ from ..config import TrainConfig
 from ..models.video_gpt import VideoGPT
 from ..sampling.scheduler import add_noise_x1, sigma_schedule
 from .loss import LossInputs
-from .train_state import TrainState, ema_update, make_optimizer
+from .train_state import TrainState, ema_update_gated, make_optimizer
 
 
 def _per_frame_sigma(sig: jax.Array, idx: jax.Array, x: jax.Array):
@@ -99,6 +100,7 @@ def distillation_loss(
     substeps: int = 2,
     time_shift: float = 1.0,
     input_noise: float = 1.0,
+    loss_weight: str = "uniform",
     apply_fn=None,
 ):
     """(scalar loss, aux) — one progressive-distillation regression step.
@@ -150,6 +152,19 @@ def distillation_loss(
 
     diff = target - pred
     per_frame = jnp.mean((diff ** 2).reshape(diff.shape[0], -1), axis=-1)
+    if loss_weight == "endpoint":
+        # Weight each frame by ((s_next-s)/(1-s))^2 — the square of the
+        # inverse of the target's amplification factor — so the loss equals
+        # the MSE between the student's LANDED one-Euler-step endpoint and
+        # the teacher's landed z'. Balances gradient scale across grid
+        # points (plain MSE over-weights early-grid targets by ~S_x; see
+        # TrainConfig.distill_loss_weight). Deviates from Salimans & Ho
+        # 2022's truncated-SNR weighting, which targets eps-prediction.
+        w = ((s_next - s) / (1.0 - s)) ** 2
+        per_frame = per_frame * w.reshape(-1)
+    elif loss_weight != "uniform":
+        raise ValueError(f"distill_loss_weight={loss_weight!r} "
+                         "(expected 'uniform' or 'endpoint')")
     if inputs.frame_weights is not None:
         per_frame = per_frame * inputs.frame_weights
     return jnp.mean(per_frame), {"per_frame_loss": per_frame}
@@ -167,7 +182,16 @@ def make_distill_train_step(model: VideoGPT, cfg: TrainConfig,
     if cfg.input_output_return:
         raise ValueError("distillation regresses the denoise head only; "
                          "input_output_return is a pretraining option")
-    tx = make_optimizer(cfg)
+    # Continue-from-teacher recipe: the student starts at the teacher's own
+    # discretization gap (tiny loss, tiny grads), and Adam's first step is
+    # scale-invariant (m/sqrt(v) ~= +-1), so the pretraining LR moves every
+    # param by ~lr REGARDLESS of how small the gap is — measured to spike
+    # the loss 80x and never recover within the gap-halving budget. The
+    # distillation optimizer therefore runs at cfg.distill_lr (default 1e-4;
+    # None inherits cfg.lr for deliberate retunes).
+    opt_cfg = (dataclasses.replace(cfg, lr=cfg.distill_lr)
+               if cfg.distill_lr is not None else cfg)
+    tx = make_optimizer(opt_cfg)
 
     def step(state: TrainState, teacher_params, rng: jax.Array,
              inputs: LossInputs):
@@ -182,6 +206,7 @@ def make_distill_train_step(model: VideoGPT, cfg: TrainConfig,
                 substeps=cfg.distill_substeps,
                 time_shift=cfg.distill_time_shift,
                 input_noise=cfg.distill_input_noise,
+                loss_weight=cfg.distill_loss_weight,
                 apply_fn=apply_fn)
 
         inner = state.params["params"]
@@ -190,7 +215,7 @@ def make_distill_train_step(model: VideoGPT, cfg: TrainConfig,
         new_params = {"params": optax.apply_updates(inner, updates)}
         ema = state.ema_params
         if ema is not None:
-            ema = ema_update(ema, new_params, cfg.ema_decay)
+            ema = ema_update_gated(ema, new_params, cfg, tx, opt_state)
         metrics = {"loss": loss, "grad_norm": optax.global_norm(grads),
                    "per_frame_loss": aux["per_frame_loss"]}
         return TrainState(state.step + 1, new_params, opt_state,

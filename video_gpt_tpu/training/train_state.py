@@ -80,6 +80,23 @@ def ema_update(ema, params, decay: float):
                         * (1.0 - decay), ema, params)
 
 
+def ema_update_gated(ema, params, cfg: TrainConfig, tx, opt_state):
+    """EMA update applied only when the optimizer actually stepped.
+
+    Under gradient accumulation (optax.MultiSteps, make_optimizer) params
+    are unchanged between accumulation boundaries; decaying the EMA on every
+    micro-step would compound the decay ``accum``x per real optimizer step
+    (0.9999^4 at accum=4) — a silent horizon change vs the reference's one
+    EMA update per accumulation cycle (train_x1_stage1:406-408). Gate on
+    ``MultiSteps.has_updated`` so the EMA sees exactly one decay per
+    completed cycle. ``opt_state`` must be the state AFTER ``tx.update``."""
+    new_ema = ema_update(ema, params, cfg.ema_decay)
+    if cfg.gradient_accumulation_steps > 1:
+        did = tx.has_updated(opt_state)
+        return jax.tree.map(lambda n, o: jnp.where(did, n, o), new_ema, ema)
+    return new_ema
+
+
 def make_lora_train_step(model: VideoGPT, cfg: TrainConfig,
                          max_blocks: int) -> Callable:
     """Train step where ``state.params`` is a LoRA adapter tree and the base
@@ -155,7 +172,7 @@ def make_train_step(model: VideoGPT, cfg: TrainConfig, max_blocks: int,
         new_params = {"params": new_inner}
         ema = state.ema_params
         if ema is not None:
-            ema = ema_update(ema, new_params, cfg.ema_decay)
+            ema = ema_update_gated(ema, new_params, cfg, tx, opt_state)
         metrics = {
             "loss": loss,
             "grad_norm": optax.global_norm(grads),

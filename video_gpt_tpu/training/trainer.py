@@ -130,6 +130,9 @@ class Trainer:
         self.target_resolution = target_resolution
         self.rng = jax.random.PRNGKey(seed)
         self._init_params = init_params
+        # distillation sanity: the teacher is supposed to be warm-start
+        # weights; remember whether any were actually provided
+        self._warm_start = init_params is not None
         self._vae_params = vae_params
         self._jit_step = None
 
@@ -229,6 +232,18 @@ class Trainer:
             if self.cfg.use_lora:
                 raise ValueError("distillation trains the full student; "
                                  "it does not compose with --use_lora")
+            if not self._warm_start:
+                # distilling a randomly initialized teacher is almost
+                # certainly user error (the CLI help promises the teacher is
+                # the --model_ckpt/--init_checkpoint_dir weights); warn
+                # loudly rather than raise so self-contained smoke/CI runs
+                # on fresh weights stay possible
+                print("WARNING: --distill with no --model_ckpt/"
+                      "--init_checkpoint_dir — the frozen teacher is a "
+                      "RANDOMLY INITIALIZED model. Distillation regresses "
+                      "the student onto this teacher's rollouts; if you "
+                      "meant to distill trained weights, pass them.",
+                      flush=True)
             from .distill import make_distill_train_step
             copy = jax.jit(lambda x: x.copy())
             student = jax.tree.map(copy, self._init_params)
