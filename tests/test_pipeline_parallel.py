@@ -104,6 +104,46 @@ def test_pp4_forward_parity():
 
 
 @pytest.mark.slow
+def test_pp_uncached_sampler_parity():
+    """PP serving, first cut: the full SAMPLER on the uncached
+    full-sequence path (the reference's own serving algorithm — KV cache
+    disabled, LVM/scheduler.py:174) with the trunk pipelined over 'pipe'
+    == the plain single-device sampler. The CFG pair's two rows are the
+    two microbatches. The cached decode path stays non-PP (README
+    parity map)."""
+    from video_gpt_tpu.config import SchedulerConfig
+    from video_gpt_tpu.layout import frame_block_inference_layout
+    from video_gpt_tpu.sampling.scheduler import sample
+
+    model = VideoGPT(CFG, dtype=jnp.float32)
+    n = tokens_per_frame(48, 48)
+    lay = frame_block_inference_layout(2, 1, n, use_cfg=True)
+    batch = Batch.from_layout(lay)
+    hl = wl = 6
+    z0 = jax.random.normal(jax.random.PRNGKey(3), (2, hl, wl, 4))
+    cl = jax.random.normal(jax.random.PRNGKey(4), (2, hl, wl, 4))
+    params = model.init(jax.random.PRNGKey(1), batch, z0,
+                        jnp.zeros((2,)), cl)
+    sched = SchedulerConfig(num_steps=3, prediction_type="x1")
+
+    def run(denoise_builder):
+        def clip(p, z0, cl):
+            return sample(z0, denoise_builder(p, cl), sched, use_cfg=True,
+                          cfg_scale=1.5)
+        return clip
+
+    want = run(lambda p, cl: lambda z, t: model.apply(
+        p, batch, z, t, cl))(params, z0, cl)
+    mesh = _mesh(pipe=2)
+    with jax.sharding.set_mesh(mesh):
+        p = jax.device_put(params, param_specs(params, mesh, pp=True))
+        got = jax.jit(run(lambda p, cl: lambda z, t: pp_apply(
+            model, p, batch, z, t, cl, num_micro=2)))(p, z0, cl)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               atol=1e-5, rtol=1e-5)
+
+
+@pytest.mark.slow
 def test_pp_grad_parity():
     """Gradients through the ppermute pipeline == plain-forward gradients
     (ppermute transposes to the reverse permutation; the bubble's garbage

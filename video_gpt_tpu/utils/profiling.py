@@ -42,3 +42,48 @@ def force_ready(out):
     leaf = jax.tree.leaves(out)[0]
     np.asarray(jax.numpy.ravel(leaf)[0])
     return out
+
+
+# bf16 MXU peak per chip, by device_kind prefix (public spec sheets:
+# v5e 197 TFLOP/s, v4 275, v5p 459, v6e/Trillium 918). Used to self-audit
+# every benchmark number against the hardware ceiling (BENCH mfu fields).
+_PEAK_BF16_TFLOPS = (
+    ("TPU v6", 918.0),
+    ("TPU v5p", 459.0),
+    ("TPU v5", 197.0),   # v5 lite / v5e
+    ("TPU v4", 275.0),
+)
+
+
+def peak_flops(device=None) -> float | None:
+    """Per-chip bf16 peak in FLOP/s for the (given or default) device;
+    None when the chip generation is unknown. Override with the
+    BENCH_PEAK_TFLOPS env var (a plain number, in TFLOP/s)."""
+    env = os.environ.get("BENCH_PEAK_TFLOPS")
+    if env:
+        return float(env) * 1e12
+    kind = (device or jax.devices()[0]).device_kind
+    for prefix, tf in _PEAK_BF16_TFLOPS:
+        if kind.startswith(prefix):
+            return tf * 1e12
+    return None
+
+
+def compiled_flops(jitted, *args) -> float | None:
+    """XLA's flop count for the compiled program (counts every executed
+    flop, including CFG branches, all denoise steps, and rematerialised
+    backward work — an EXECUTED-flops MFU, which upper-bounds the
+    model-flops MFU). None when cost analysis is unavailable."""
+    try:
+        cost = jitted.lower(*args).compile().cost_analysis()
+        return float(cost["flops"]) if cost and "flops" in cost else None
+    except Exception:
+        return None
+
+
+def mfu(flops, seconds, device=None) -> float | None:
+    """flops / seconds / per-chip peak; None when either is unknown."""
+    peak = peak_flops(device)
+    if not flops or not seconds or not peak:
+        return None
+    return flops / seconds / peak
