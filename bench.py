@@ -57,25 +57,28 @@ UNCOND_REFRESH = int(os.environ.get("BENCH_UNCOND_REFRESH", 3))
 
 def frontier_drift(cfg_interval, uncond_refresh, steps):
     """Look up the serving schedule's measured drift in the committed
-    frontier artifact (None when not measured)."""
+    frontier artifacts (None when not measured). Prefers the
+    TRAINED-weights rows (drift_frontier_r05.jsonl, measured by
+    scripts/quality_protocol.py through a trained model) over the
+    randomised-head sweep (r04, scripts/cfg_drift.py)."""
     import os.path
-    path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                        "artifacts", "drift_frontier_r04.jsonl")
+    here = os.path.dirname(os.path.abspath(__file__))
     if cfg_interval is None and uncond_refresh == 1:
         return 0.0  # identical to always-CFG by construction
-    try:
-        with open(path) as f:
-            for line in f:
-                row = json.loads(line)
-                ival = (None if row["cfg_interval"] is None
-                        else tuple(row["cfg_interval"]))
-                if (ival == cfg_interval
-                        and row["uncond_refresh"] == uncond_refresh
-                        and row["num_steps"] == steps
-                        and row["time_shift"] == 1.0):
-                    return row["rel_final_latent_mse"]
-    except OSError:
-        pass
+    for name in ("drift_frontier_r05.jsonl", "drift_frontier_r04.jsonl"):
+        try:
+            with open(os.path.join(here, "artifacts", name)) as f:
+                for line in f:
+                    row = json.loads(line)
+                    ival = (None if row.get("cfg_interval") is None
+                            else tuple(row["cfg_interval"]))
+                    if (ival == cfg_interval
+                            and row["uncond_refresh"] == uncond_refresh
+                            and row["num_steps"] == steps
+                            and row.get("time_shift", 1.0) == 1.0):
+                        return row["rel_final_latent_mse"]
+        except OSError:
+            continue
     return None
 
 
@@ -208,6 +211,27 @@ def main():
         return median(ts)
 
     t_serving = bench_fn(cached_clip, z0_fast, REPS)
+    # analytic model-flops MFU: every number self-audits against the chip
+    # ceiling. (XLA cost analysis is useless here: it counts scan bodies
+    # once, and both the denoise loop and the layer stack are scans.)
+    from video_gpt_tpu.sampling.scheduler import step_kinds
+    from video_gpt_tpu.utils.profiling import (attention_flops, count_params,
+                                               dense_model_flops, mfu)
+    P = count_params(params)
+    L_c, L_u, L_pair = layout_c.length, layout_u.length, layout.length
+
+    def _attn(q, kv):
+        return attention_flops(cfg.num_layers, cfg.hidden_size, q, kv)
+
+    kinds = list(step_kinds(sched)) if mode == "separate" else ["cfg"] * STEPS
+    uncond_evals = kinds.count("cfg")
+    cond_evals = len(kinds)  # every step evaluates the conditional branch
+    flops_serving = (
+        dense_model_flops(P, prefix) + _attn(prefix, prefix)       # prefill
+        + cond_evals * (dense_model_flops(P, tail) + _attn(tail, L_c))
+        + uncond_evals * (dense_model_flops(P, L_u) + _attn(L_u, L_u)))
+    flops_uncached = STEPS * (dense_model_flops(P, 2 * L_pair)
+                              + 2 * _attn(L_pair, L_pair))
     # what actually ran: batched mode is always-CFG by construction
     eff_ival, eff_refresh = ((CFG_INTERVAL, UNCOND_REFRESH)
                              if mode == "separate" else (None, 1))
@@ -230,6 +254,16 @@ def main():
         "serving_schedule": {"cfg_interval": eff_ival,
                              "uncond_refresh": eff_refresh},
         "serving_drift_rel_latent_mse": drift,
+        # analytic model-flops MFU (2PT dense + QK/PV attention, per
+        # schedule-evaluated branch, / wall / bf16 peak for this
+        # device_kind — utils/profiling.py). Attention term is an upper
+        # bound (masked tiles the kernels skip are still counted).
+        "mfu": (round(m, 4) if (m := mfu(flops_serving, t_serving))
+                is not None else None),
+        "uncached_mfu": (round(m, 4)
+                         if (m := mfu(flops_uncached, t_uncached))
+                         is not None else None),
+        "device_kind": jax.devices()[0].device_kind,
         "baseline_note": "vs_baseline = speedup over the reference's "
                          "no-KV-cache full-recompute algorithm on the same "
                          "chip (reference publishes no numbers). value = "

@@ -150,6 +150,66 @@ def aot_train_leg(data=2, seq=2, tensor=2, topology="v5e:2x4"):
                                              None)}
 
 
+def aot_pp_train_leg(data=4, pipe=2, num_micro=2, topology="v5e:2x4"):
+    """dp x pp GPipe train step AOT against a TPU topology: the ppermute
+    pipeline ring (parallel/pipeline.py) compiled by the real TPU compiler
+    — the dryrun covers it only on the CPU-interpret mesh."""
+    import functools
+
+    from video_gpt_tpu.parallel.pipeline import pp_apply
+
+    mesh = _topology_mesh((data, 1, 1, pipe),
+                          (DATA_AXIS, SEQ_AXIS, TENSOR_AXIS, PIPE_AXIS),
+                          name=topology)
+    cfg = ModelConfig(attn_impl="auto", remat=True, **_WIDE)
+    n = tokens_per_frame(H, W)
+    rows = data * num_micro  # whole microbatches per data shard
+    layout = build_layout([RowSpec((1, 2, 1), "training")
+                           for _ in range(rows)], n)
+    batch = Batch.from_layout(layout)
+    hl, wl = H // 8, W // 8
+    nn_, nc = layout.num_noisy_frames, layout.num_clean_frames
+    dt = jnp.bfloat16
+    model = VideoGPT(cfg, dtype=dt, train_init=True)
+    z = jax.ShapeDtypeStruct((nn_, hl, wl, cfg.in_channels), dt)
+    cl = jax.ShapeDtypeStruct((nc, hl, wl, cfg.in_channels), dt)
+    t0 = jax.ShapeDtypeStruct((nn_,), dt)
+    params = jax.eval_shape(model.init, jax.random.PRNGKey(0), batch, z,
+                            t0, cl)
+    tcfg = TrainConfig(lr_warmup_steps=2, mixed_precision="bf16")
+    state = jax.eval_shape(lambda p: init_train_state(model, p, tcfg),
+                           params)
+    max_blocks = int(layout.noisy_frame_block.max()) + 1
+    step = make_train_step(
+        model, tcfg, max_blocks,
+        apply_fn=functools.partial(pp_apply, model, num_micro=num_micro))
+
+    with jax.sharding.set_mesh(mesh):
+        state_sh = state._replace(
+            step=NamedSharding(mesh, P()),
+            params=param_specs(state.params, mesh, pp=True),
+            opt_state=param_specs(state.opt_state, mesh, pp=True,
+                                  zero=True),
+            ema_params=None)
+        state_sds = _sds(state, state_sh)
+        inputs = LossInputs(
+            batch=batch,
+            x1=jax.ShapeDtypeStruct((nn_, hl, wl, cfg.in_channels),
+                                    jnp.float32),
+            clean_latents=jax.ShapeDtypeStruct(
+                (nc, hl, wl, cfg.in_channels), jnp.float32),
+            noisy_frame_row=jnp.asarray(layout.noisy_frame_row),
+            noisy_frame_block=jnp.asarray(layout.noisy_frame_block))
+        inputs_sds = _repl_sds(inputs, mesh,
+                               batch_shape=(layout.batch, layout.length))
+        rng = jax.ShapeDtypeStruct((2,), jnp.uint32,
+                                   sharding=NamedSharding(mesh, P()))
+        compiled = jax.jit(step, donate_argnums=(0,)).lower(
+            state_sds, rng, inputs_sds).compile()
+    return {"leg": f"train_dp_pp@{topology}", "mesh": [data, pipe],
+            "flops_per_step": compiled.cost_analysis().get("flops")}
+
+
 def aot_decode_leg(tp: int):
     """TP cached serving decode (prefill -> decode), AOT against v5e:2x4."""
     mesh = _topology_mesh((1, 1, tp, 1),
@@ -191,7 +251,9 @@ def main():
     for fn in (aot_train_leg, lambda: aot_decode_leg(2),
                lambda: aot_decode_leg(4),
                # 16 chips over FOUR hosts: multi-host partitioning compiles
-               lambda: aot_train_leg(4, 2, 2, topology="v5e:4x4")):
+               lambda: aot_train_leg(4, 2, 2, topology="v5e:4x4"),
+               # GPipe ppermute ring through the real TPU compiler
+               aot_pp_train_leg):
         try:
             legs.append(fn())
         except Exception as e:  # noqa: BLE001 — report and fail the run

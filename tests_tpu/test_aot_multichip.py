@@ -38,3 +38,10 @@ def test_aot_train_multihost_v5e16():
     exercises the multi-host partitioning/collective compile paths."""
     out = aot_check.aot_train_leg(4, 2, 2, topology="v5e:4x4")
     assert out["flops_per_step"] and out["flops_per_step"] > 0
+
+
+def test_aot_pp_train():
+    """(4, pipe=2) GPipe train step — the ppermute pipeline ring compiled
+    by the real TPU compiler (the dryrun covers CPU-interpret only)."""
+    out = aot_check.aot_pp_train_leg()
+    assert out["flops_per_step"] and out["flops_per_step"] > 0

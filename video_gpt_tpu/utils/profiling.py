@@ -70,15 +70,46 @@ def peak_flops(device=None) -> float | None:
 
 
 def compiled_flops(jitted, *args) -> float | None:
-    """XLA's flop count for the compiled program (counts every executed
-    flop, including CFG branches, all denoise steps, and rematerialised
-    backward work — an EXECUTED-flops MFU, which upper-bounds the
-    model-flops MFU). None when cost analysis is unavailable."""
+    """XLA's flop count for the compiled program. WARNING: HLO cost
+    analysis counts a ``lax.scan``/while-loop BODY ONCE, not times its
+    trip count — this repo's samplers scan over denoise steps and the
+    model scans over layers (flax nn.scan), so this UNDERCOUNTS by
+    ~steps x layers. Use the analytic :func:`dense_model_flops` /
+    :func:`attention_flops` model-flops instead for MFU; this stays for
+    single-dispatch programs (e.g. AOT per-step cost sanity checks)."""
     try:
         cost = jitted.lower(*args).compile().cost_analysis()
         return float(cost["flops"]) if cost and "flops" in cost else None
     except Exception:
         return None
+
+
+def count_params(tree) -> int:
+    """Number of elements across floating-point leaves (the 'P' in the
+    standard 2PT/6PT model-flops accounting)."""
+    import jax.numpy as jnp
+    return sum(x.size for x in jax.tree.leaves(tree)
+               if hasattr(x, "dtype") and jnp.issubdtype(x.dtype,
+                                                         jnp.floating))
+
+
+def dense_model_flops(n_params: int, q_tokens: int) -> float:
+    """Dense (matmul) model flops of one forward over ``q_tokens`` tokens:
+    the standard 2*P*T estimate (Kaplan et al.; PaLM appendix B). The
+    embedding gather is counted as if it were a matmul — a small
+    overcount — and per-element ops are ignored."""
+    return 2.0 * float(n_params) * float(q_tokens)
+
+
+def attention_flops(num_layers: int, hidden: int, q_tokens: int,
+                    kv_tokens: int) -> float:
+    """QK^T + PV matmul flops: 2 * q * kv * hidden each, per layer (GQA
+    shares K/V across query heads but every query head still multiplies
+    against its group's keys, so the count is head-layout independent).
+    Upper bound: block-sparse masks let the flash kernels skip never-
+    visible tiles, so executed flops can be lower."""
+    return 4.0 * float(num_layers) * float(hidden) * float(q_tokens) \
+        * float(kv_tokens)
 
 
 def mfu(flops, seconds, device=None) -> float | None:
