@@ -85,6 +85,7 @@ def cmd_train(args):
         distill_lr=(None if args.distill_lr is not None
                     and args.distill_lr < 0 else args.distill_lr),
         distill_loss_weight=args.distill_loss_weight,
+        distill_guidance=args.distill_guidance,
         lr_scheduler=args.lr_scheduler,
         lr_warmup_steps=args.lr_warmup_steps,
         gradient_accumulation_steps=args.gradient_accumulation_steps,
@@ -691,6 +692,15 @@ def build_parser() -> argparse.ArgumentParser:
                         "points: 'endpoint' = ((s_next-s)/(1-s))^2, i.e. "
                         "MSE between landed endpoints, equalising "
                         "gradient scale across the grid")
+    t.add_argument("--distill_guidance", type=float, default=None,
+                   help="GUIDANCE distillation (arXiv:2210.03142): distill "
+                        "the classifier-free-guided teacher uncond + w*"
+                        "(cond - uncond) at this w into the student, which "
+                        "then serves with --use_cfg off — one forward per "
+                        "step, no unconditional row. Set to the cfg_scale "
+                        "you would have served with (reference: 1.5, "
+                        "inference_nv.sh:34). Composes with step "
+                        "distillation")
     t.add_argument("--cls_weight", type=float, default=None)
     t.add_argument("--input_output_return", action="store_true")
     t.add_argument("--input_noise", type=float, default=0.9)

@@ -207,6 +207,18 @@ class TrainConfig:
     # where the student's one Euler step LANDS and where the teacher's
     # rollout landed — equal footing for every grid point.
     distill_loss_weight: str = "uniform"
+    # GUIDANCE distillation (Meng et al. 2023, arXiv:2210.03142, adapted to
+    # x1-prediction flow matching): when set, the teacher target is the
+    # classifier-free-guided prediction uncond + w*(cond - uncond) — the
+    # serving sampler's exact combination (scheduler.cfg_mix) — with the
+    # unconditional branch evaluated on the 'uncond' layout scheme
+    # (layout.py), so the student bakes guidance in and serves with
+    # use_cfg=False: ONE forward per step, no uncond row/KV program. Must
+    # match the cfg_scale you would have served with (inference_nv.sh:34
+    # serves the reference at 1.5). Composes with step distillation: a
+    # guided 5-step student costs 5 NFE where separate-CFG 5-step costs
+    # 8-10.
+    distill_guidance: Optional[float] = None
     # host-offloaded AdamW (training/offload.py): f32 master/mu/nu in
     # pinned_host memory, update math as host compute — the single-chip
     # full-depth path, the TPU analogue of the reference's ZeRO-offload

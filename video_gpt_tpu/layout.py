@@ -27,6 +27,14 @@ Sequences follow two schemes (LVM/processor.py:220-274 and :128-179):
   The stage-1 interleaved layout is exactly ``frame_blocks=[1]*F``.
 - ``inference``: each block except the last contributes clean frames only; the
   last block is the noisy clip being denoised.
+- ``uncond``: every block contributes noisy frames only — the training-side
+  counterpart of the serving CFG unconditional row ``[0, n_gen]``
+  (LVM/pipeline.py:426-448). Each block sees no clean context, and RoPE is
+  relative, so block ``b``'s frames behave exactly like a standalone
+  ``[0, fb]`` row (pinned by tests/test_distill.py). Used by guidance
+  distillation (training/distill.py) to evaluate the teacher's
+  unconditional branch over a whole training batch in ONE static-shape
+  forward.
 """
 from __future__ import annotations
 
@@ -51,22 +59,24 @@ class RowSpec:
     (create_block_mask_training, LVM/processor.py:733-774)."""
 
     frame_blocks: Tuple[int, ...]
-    scheme: str = "inference"  # 'inference' | 'training'
+    scheme: str = "inference"  # 'inference' | 'training' | 'uncond'
     block_aware: bool = False
 
     def __post_init__(self):
-        assert self.scheme in ("inference", "training"), self.scheme
+        assert self.scheme in ("inference", "training", "uncond"), self.scheme
         assert all(b >= 0 for b in self.frame_blocks)
         assert self.frame_blocks[-1] > 0, "last (noisy) block must be non-empty"
 
     @property
     def num_noisy_frames(self) -> int:
-        if self.scheme == "training":
+        if self.scheme in ("training", "uncond"):
             return sum(self.frame_blocks)
         return self.frame_blocks[-1]
 
     @property
     def num_clean_frames(self) -> int:
+        if self.scheme == "uncond":
+            return 0
         return sum(self.frame_blocks[:-1])
 
 
@@ -212,6 +222,11 @@ def _build_row(spec: RowSpec, n_img: int, ids: TokenIds):
         c_pos += seg
 
     for k, fb in enumerate(spec.frame_blocks):
+        if spec.scheme == "uncond":
+            for i in range(fb):
+                emit_noisy(k, video_frame)
+                video_frame += 1
+            continue
         if k != last:
             if spec.scheme == "training":
                 base = video_frame

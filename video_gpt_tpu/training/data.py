@@ -30,8 +30,14 @@ class TrainBatch(NamedTuple):
 
 
 def collate(samples: Sequence, n_img: int, sp_multiple: int = 1,
-            cls_weight: float = None) -> TrainBatch:
-    """samples: ClipSample list sharing frame_num and resolution."""
+            cls_weight: float = None, uncond: bool = False) -> TrainBatch:
+    """samples: ClipSample list sharing frame_num and resolution.
+
+    ``uncond=True`` additionally builds the unconditional-branch layout
+    ('uncond' scheme — same rows and block partition, noisy frames only,
+    identical noisy-frame order) for guidance distillation
+    (TrainConfig.distill_guidance). Its length is F*seg regardless of the
+    block partition, so the jitted step still compiles once."""
     F = samples[0].pixels.shape[0]
     B = len(samples)
     seg = n_img + 2
@@ -42,6 +48,16 @@ def collate(samples: Sequence, n_img: int, sp_multiple: int = 1,
     specs = [RowSpec(tuple(s.frame_blocks), "training") for s in samples]
     layout = build_layout(specs, n_img, pad_to_multiple=sp_multiple,
                           pad_to=pad_to)
+    batch_uncond = None
+    if uncond:
+        pad_u = F * seg
+        if pad_u % sp_multiple:
+            pad_u += sp_multiple - pad_u % sp_multiple
+        layout_u = build_layout(
+            [RowSpec(tuple(s.frame_blocks), "uncond") for s in samples],
+            n_img, pad_to_multiple=sp_multiple, pad_to=pad_u)
+        assert layout_u.num_noisy_frames == layout.num_noisy_frames
+        batch_uncond = Batch.from_layout(layout_u)
 
     nn_ = layout.num_noisy_frames
     assert nn_ == B * F
@@ -74,6 +90,7 @@ def collate(samples: Sequence, n_img: int, sp_multiple: int = 1,
         noisy_frame_block=jnp.asarray(layout.noisy_frame_block),
         frame_weights=frame_weights,
         clean_weights=jnp.asarray(clean_valid),
+        batch_uncond=batch_uncond,
     )
     return TrainBatch(
         inputs=inputs,

@@ -101,6 +101,7 @@ def distillation_loss(
     time_shift: float = 1.0,
     input_noise: float = 1.0,
     loss_weight: str = "uniform",
+    cfg_scale: Optional[float] = None,
     apply_fn=None,
 ):
     """(scalar loss, aux) — one progressive-distillation regression step.
@@ -110,6 +111,20 @@ def distillation_loss(
     per-(row, block) grid index is drawn uniformly, shared by the block's
     frames — the distillation analogue of the training loss's shared block
     timestep (loss.sample_block_timesteps).
+
+    ``cfg_scale`` switches on GUIDANCE distillation (Meng et al. 2023,
+    arXiv:2210.03142 stage 1, adapted to x1-prediction): the teacher's
+    prediction becomes the classifier-free-guided combination
+    ``uncond + w * (cond - uncond)`` — the exact quantity the serving
+    sampler computes (sampling/scheduler.py cfg_mix) — where the
+    unconditional branch evaluates the teacher on
+    ``inputs.batch_uncond`` (the 'uncond' layout scheme: same rows and
+    blocks, noisy frames only, identical noisy-frame order). The student
+    regresses onto the guided rollout while keeping its CONDITIONAL
+    input, so at serving it replaces the (cond, uncond) pair with ONE
+    forward: ``use_cfg=False``, no unconditional row, no uncond KV
+    program — half the NFE of separate-CFG on top of any step-count
+    reduction.
     """
     r_x0, r_i, r_x0c, r_tc = jax.random.split(rng, 4)
     x1, clean = inputs.x1, inputs.clean_latents
@@ -137,8 +152,22 @@ def distillation_loss(
         clean_in = clean
 
     call = model.apply if apply_fn is None else apply_fn
-    z_prime = teacher_rollout(call, teacher_params, inputs.batch, xt,
-                              clean_in, sig_t, start, m)
+    if cfg_scale is not None:
+        if inputs.batch_uncond is None:
+            raise ValueError("guidance distillation (cfg_scale set) needs "
+                             "inputs.batch_uncond — collate with "
+                             "uncond=True (training/data.py)")
+        batch_u = inputs.batch_uncond
+        empty_clean = clean_in[:0]
+
+        def teacher_call(tp, batch, z, t, cl):
+            cond = call(tp, batch, z, t, cl).astype(jnp.float32)
+            unc = call(tp, batch_u, z, t, empty_clean).astype(jnp.float32)
+            return unc + cfg_scale * (cond - unc)
+    else:
+        teacher_call = call
+    z_prime = teacher_rollout(teacher_call, teacher_params, inputs.batch,
+                              xt, clean_in, sig_t, start, m)
 
     # invert one student Euler step: predicting `target` at sigma_i lands
     # the student exactly at the teacher's z'
@@ -207,6 +236,7 @@ def make_distill_train_step(model: VideoGPT, cfg: TrainConfig,
                 time_shift=cfg.distill_time_shift,
                 input_noise=cfg.distill_input_noise,
                 loss_weight=cfg.distill_loss_weight,
+                cfg_scale=cfg.distill_guidance,
                 apply_fn=apply_fn)
 
         inner = state.params["params"]

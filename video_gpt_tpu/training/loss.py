@@ -41,6 +41,9 @@ class LossInputs(NamedTuple):
     # from the layout; covers the reference's cls_weight, loss.py:227-232)
     clean_weights: Optional[jax.Array] = None  # [Nc] 1.0 for real clean
     # frames, 0.0 for shape-padding slots (training/data.py collation)
+    batch_uncond: Optional[Batch] = None  # unconditional-branch layout
+    # ('uncond' scheme: same rows/blocks, noisy frames only, same noisy
+    # order) — present only for guidance distillation (distill_guidance)
 
 
 def sample_block_timesteps(rng: jax.Array, frame_row: jax.Array,

@@ -147,7 +147,8 @@ class Trainer:
         sample = self.dataset.sample(0)
         n_img = tokens_per_frame(*self.target_resolution)
         return collate([sample] * self._batch_rows, n_img,
-                       sp_multiple=self._sp)
+                       sp_multiple=self._sp,
+                       uncond=self.cfg.distill_guidance is not None)
 
     def _place_state(self, state: TrainState) -> TrainState:
         """Optimizer state ZeRO-sharded over 'data'; params replicated, or
@@ -170,11 +171,16 @@ class Trainer:
         repl = NamedSharding(self.mesh, P())
         b = self._batch_rows
         l = tb.inputs.batch.input_ids.shape[1]
+        # guidance distillation rides a second (shorter, sp-aligned) token
+        # layout — shard it over (data, seq) like the main one
+        lens = {l}
+        if tb.inputs.batch_uncond is not None:
+            lens.add(tb.inputs.batch_uncond.input_ids.shape[1])
 
         def put(x):
             if not hasattr(x, "ndim"):
                 return x
-            if x.ndim == 2 and x.shape[:2] == (b, l):
+            if x.ndim == 2 and x.shape[0] == b and x.shape[1] in lens:
                 return jax.device_put(x, tok)
             return jax.device_put(x, repl)
 
@@ -223,6 +229,9 @@ class Trainer:
                     f"by pp_microbatches={nm}")
             apply_fn = functools.partial(pp_apply, self.model,
                                          num_micro=nm)
+        if not self.cfg.distill and self.cfg.distill_guidance is not None:
+            raise ValueError("--distill_guidance is a distillation knob; "
+                             "pass --distill with it")
         if self.cfg.distill:
             # progressive step-distillation (training/distill.py): the
             # frozen teacher is the warm-start weights and rides the
@@ -412,7 +421,8 @@ class Trainer:
             samples = [self.dataset.sample(idx * rows + i)
                        for i in range(rows)]
             return collate(samples, n_img, sp_multiple=self._sp,
-                           cls_weight=cfg.cls_weight)
+                           cls_weight=cfg.cls_weight,
+                           uncond=cfg.distill_guidance is not None)
 
         from ..data.prefetch import Prefetcher
         from ..parallel.distributed import GracefulShutdown
