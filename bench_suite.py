@@ -360,6 +360,50 @@ def bench_serving_frontier():
             row["distilled_rel_mse_vs_teacher50"] = student_mse[key]
         _emit(row)
 
+    # guidance-distilled students (distill_guidance=1.5): CFG baked into
+    # the weights, served with use_cfg=False — conditional context only,
+    # ONE forward per step, no uncond row/KV program at all
+    from video_gpt_tpu.sampling.scheduler import sample as _sample
+
+    def clip_guided(sched, params, clean, z0):
+        cache = model.apply(params, batch_c, clean, prefix,
+                            method=VideoGPT.prefill)
+        bias_c = decode_mask(batch_c.meta.tail(tail), batch_c.meta)
+
+        def denoise_cond(z, t):
+            return model.apply(params, batch_c, z, t, cache, tail, bias_c,
+                               method=VideoGPT.decode)
+
+        return _sample(z0, denoise_cond, sched, use_cfg=False)
+
+    for steps in (5, 4, 3):
+        sched = SchedulerConfig(num_steps=steps, prediction_type="x1")
+        fn = jax.jit(_ft.partial(clip_guided, sched))
+        fn(params, clean, z0).block_until_ready()  # compile
+        ts = []
+        for _ in range(3):
+            t0 = time.perf_counter()
+            fn(params, clean, z0).block_until_ready()
+            ts.append(time.perf_counter() - t0)
+        t = _median(ts)
+        row = {
+            "metric": f"serving frontier: {steps} steps, guidance-"
+                      "distilled (CFG baked in, no uncond branch) "
+                      "(16-frame clip, 8-frame condition, 176x320, "
+                      "cached decode)",
+            "value": round(n_gen / t, 3),
+            "unit": "frames/s/chip",
+            "p50_latency_s": round(t, 4),
+            "num_steps": steps, "uncond_evals": 0,
+            "speedup_vs_uncached_10step_baseline": round(t_base / t, 3),
+        }
+        key = f"gstudent{steps}@{steps}"
+        if key in student_mse:
+            # quality bound THROUGH TRAINED WEIGHTS: guided student's
+            # final latents vs the teacher's guided 50-step reference
+            row["distilled_rel_mse_vs_teacher50"] = student_mse[key]
+        _emit(row)
+
 
 def bench_long_rollout():
     _rollout("plane.mp4", "240x320 bucket: 300 tok/frame")

@@ -61,7 +61,7 @@ from video_gpt_tpu.layout import (decode_rank, frame_block_inference_layout,
                                   tokens_per_frame)
 from video_gpt_tpu.models.vae import AutoencoderKL, VAEConfig
 from video_gpt_tpu.models.video_gpt import Batch, VideoGPT, decode_mask
-from video_gpt_tpu.sampling.scheduler import (sample_separate_cfg,
+from video_gpt_tpu.sampling.scheduler import (sample, sample_separate_cfg,
                                               step_kinds)
 from video_gpt_tpu.training.trainer import Trainer
 
@@ -76,7 +76,9 @@ N_GEN = int(os.environ.get("N_GEN", 16))
 TRAIN_STEPS = int(os.environ.get("TRAIN_STEPS", 400))
 DISTILL_STEPS = int(os.environ.get("DISTILL_STEPS", 300))
 VIDEO_DIR = os.environ.get("VIDEO_DIR", "/root/reference/vids")
-OUT_DIR = os.path.join(REPO, "artifacts", "quality_r05")
+TAG = os.environ.get("QP_TAG", "r05")  # artifact suffix (smoke runs
+# point this elsewhere so they don't clobber the committed numbers)
+OUT_DIR = os.path.join(REPO, "artifacts", f"quality_{TAG}")
 REF_STEPS = 50  # reference serving step count, inference_nv.sh:30
 
 MODEL = ModelConfig(hidden_size=256, num_layers=8, num_heads=8,
@@ -126,11 +128,16 @@ def phase_train():
     return t, state
 
 
-def phase_distill(teacher_params, student_steps, substeps, tag):
-    """One distillation round from the trained teacher."""
+def phase_distill(teacher_params, student_steps, substeps, tag,
+                  guidance=None):
+    """One distillation round from the trained teacher. ``guidance``
+    switches on guidance distillation (training/distill.py cfg_scale):
+    the student bakes uncond + w*(cond - uncond) in and serves with
+    use_cfg=False."""
     cfg = _train_cfg(os.path.join(OUT_DIR, f"student{tag}"), distill=True,
                      distill_student_steps=student_steps,
                      distill_substeps=substeps, lr_scheduler="constant",
+                     distill_guidance=guidance,
                      ckpt_every=DISTILL_STEPS)
     t = Trainer(MODEL, cfg, VIDEO_DIR, vae_cfg=VAE,
                 target_resolution=(H, W), init_params=teacher_params)
@@ -152,9 +159,11 @@ def _eval_context(trainer):
     return clean.astype(jnp.float32)
 
 
-def make_runner(params, clean):
+def make_runner(params, clean, guided=False):
     """schedule -> final latents, through the cached serving path
-    (prefill -> decode, separate-CFG; mirrors scripts/cfg_drift.py)."""
+    (prefill -> decode, separate-CFG; mirrors scripts/cfg_drift.py).
+    ``guided=True`` serves a guidance-distilled student: conditional
+    context only, use_cfg=False — ONE forward per step."""
     model = VideoGPT(MODEL, dtype=jnp.float32)
     n = tokens_per_frame(H, W)
     hl, wl = H // 8, W // 8
@@ -180,6 +189,9 @@ def make_runner(params, clean):
             def denoise_cond(z, t):
                 return model.apply(p, batch_c, z, t, cache, tail, bias_c,
                                    method=VideoGPT.decode)
+
+            if guided:
+                return sample(z0, denoise_cond, sched, use_cfg=False)
 
             def denoise_pair(z, t):
                 return (denoise_cond(z, t),
@@ -236,6 +248,18 @@ def main():
     student3 = jax.tree.map(np.asarray,
                             phase_distill(teacher, 3, 2, "3"))
 
+    print("== phase 2b: guidance distillation (w=1.5) 10->5, 8->4, 6->3 ==",
+          flush=True)
+    gstudent5 = jax.tree.map(np.asarray,
+                             phase_distill(teacher, 5, 2, "g5",
+                                           guidance=1.5))
+    gstudent4 = jax.tree.map(np.asarray,
+                             phase_distill(teacher, 4, 2, "g4",
+                                           guidance=1.5))
+    gstudent3 = jax.tree.map(np.asarray,
+                             phase_distill(teacher, 3, 2, "g3",
+                                           guidance=1.5))
+
     print("== phase 3: measure ==", flush=True)
     clean = _eval_context(trainer)
     run_teacher = make_runner(teacher, clean)
@@ -247,7 +271,7 @@ def main():
     d10 = float(np.mean(ref10 ** 2))
 
     frontier_path = os.path.join(REPO, "artifacts",
-                                 "drift_frontier_r05.jsonl")
+                                 f"drift_frontier_{TAG}.jsonl")
     rows = []
     for spec in DRIFT_SWEEP.split(";"):
         sched = parse_schedule(spec)
@@ -305,6 +329,42 @@ def main():
             student_rows.append(row)
             print(json.dumps(row), flush=True)
 
+    # guidance-distilled students: CFG baked in, served with ONE forward
+    # per step (use_cfg=False — no unconditional context at all), still
+    # scored against the teacher's guided 50-step reference. The
+    # "teacher_noCFG@10" diagnostic shows how far the raw conditional
+    # model lands from the guided reference — the gap guidance
+    # distillation has to close.
+    diag = make_runner(teacher, clean, guided=True)(
+        SchedulerConfig(num_steps=10, prediction_type="x1"))
+    row = {
+        "weights": "trained", "schedule": "teacher_noCFG@10",
+        "num_steps": 10, "uncond_refresh": 0, "uncond_evals": 0,
+        "reference": "50-step always-CFG (teacher)",
+        "rel_cost": round(10 / (REF_STEPS * 1.47), 4),
+        "rel_final_latent_mse": round(
+            float(np.mean((diag - ref50) ** 2)) / d50, 6),
+    }
+    student_rows.append(row)
+    print(json.dumps(row), flush=True)
+    for name, p, steps in (("gstudent5", gstudent5, 5),
+                           ("gstudent4", gstudent4, 4),
+                           ("gstudent3", gstudent3, 3)):
+        run_g = make_runner(jax.tree.map(jnp.asarray, p), clean,
+                            guided=True)
+        out = run_g(SchedulerConfig(num_steps=steps, prediction_type="x1"))
+        row = {
+            "weights": "trained+guided-distilled",
+            "schedule": f"{name}@{steps}",
+            "num_steps": steps, "uncond_refresh": 0, "uncond_evals": 0,
+            "reference": "50-step always-CFG (teacher)",
+            "rel_cost": round(steps / (REF_STEPS * 1.47), 4),
+            "rel_final_latent_mse": round(
+                float(np.mean((out - ref50) ** 2)) / d50, 6),
+        }
+        student_rows.append(row)
+        print(json.dumps(row), flush=True)
+
     with open(frontier_path, "w") as f:
         for row in rows + student_rows:
             f.write(json.dumps(row) + "\n")
@@ -315,8 +375,9 @@ def main():
                                 if r["schedule"].startswith("steps=")}
     summary["students"] = {r["schedule"]: r["rel_final_latent_mse"]
                            for r in student_rows}
+    summary["distill_guidance"] = 1.5
     summary["elapsed_s"] = round(time.time() - t0, 1)
-    with open(os.path.join(REPO, "artifacts", "quality_r05.json"),
+    with open(os.path.join(REPO, "artifacts", f"quality_{TAG}.json"),
               "w") as f:
         json.dump(summary, f, indent=1)
     print(json.dumps({"quality_protocol": "done",

@@ -315,3 +315,23 @@ def test_trainer_rejects_guidance_without_distill(tmp_path):
                 target_resolution=(48, 64))
     with pytest.raises(ValueError, match="distill_guidance"):
         t.run(1)
+
+
+@pytest.mark.slow
+def test_trainer_guided_distill_smoke(tmp_path):
+    """Trainer --distill --distill_guidance end-to-end: collate rides the
+    uncond layout, the guided teacher evaluates both branches, two steps
+    run through real video data."""
+    from video_gpt_tpu.models.vae import VAEConfig
+    from video_gpt_tpu.training.trainer import Trainer
+    cfg = TrainConfig(frame_num=4, frame_block_scheme="frame_block",
+                      mixed_precision="no", lr=1e-3, lr_scheduler="constant",
+                      log_every=1, ckpt_every=1000, distill=True,
+                      distill_student_steps=4, distill_substeps=2,
+                      distill_guidance=1.5, results_dir=str(tmp_path))
+    t = Trainer(ModelConfig.tiny(attn_impl="reference",
+                                 pos_embed_max_size=192), cfg,
+                "/root/reference/vids", vae_cfg=VAEConfig.tiny(),
+                target_resolution=(48, 64))
+    state = t.run(2)
+    assert int(state.step) == 2

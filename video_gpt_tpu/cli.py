@@ -696,9 +696,10 @@ def build_parser() -> argparse.ArgumentParser:
                    help="GUIDANCE distillation (arXiv:2210.03142): distill "
                         "the classifier-free-guided teacher uncond + w*"
                         "(cond - uncond) at this w into the student, which "
-                        "then serves with --use_cfg off — one forward per "
-                        "step, no unconditional row. Set to the cfg_scale "
-                        "you would have served with (reference: 1.5, "
+                        "then serves guidance-free (generate "
+                        "--img_guidance_scale 1) — one forward per step, "
+                        "no unconditional row. Set to the cfg_scale you "
+                        "would have served with (reference: 1.5, "
                         "inference_nv.sh:34). Composes with step "
                         "distillation")
     t.add_argument("--cls_weight", type=float, default=None)
