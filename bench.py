@@ -56,30 +56,22 @@ UNCOND_REFRESH = int(os.environ.get("BENCH_UNCOND_REFRESH", 3))
 
 
 def frontier_drift(cfg_interval, uncond_refresh, steps):
-    """Look up the serving schedule's measured drift in the committed
-    frontier artifacts (None when not measured). Prefers the
-    TRAINED-weights rows (drift_frontier_r05.jsonl, measured by
-    scripts/quality_protocol.py through a trained model) over the
-    randomised-head sweep (r04, scripts/cfg_drift.py)."""
+    """(drift, reference) for the serving schedule, from the committed
+    frontier artifacts ((None, None) when not measured). Plain-teacher
+    schedule rows only, trained-weights (r05) rows preferred over the
+    randomised-head sweep (r04) — utils/frontier.py is the shared loader
+    that keeps student-quality rows out of schedule-drift lookups."""
     import os.path
+
+    from video_gpt_tpu.utils.frontier import load_schedule_drift
     here = os.path.dirname(os.path.abspath(__file__))
-    if cfg_interval is None and uncond_refresh == 1:
-        return 0.0  # identical to always-CFG by construction
-    for name in ("drift_frontier_r05.jsonl", "drift_frontier_r04.jsonl"):
-        try:
-            with open(os.path.join(here, "artifacts", name)) as f:
-                for line in f:
-                    row = json.loads(line)
-                    ival = (None if row.get("cfg_interval") is None
-                            else tuple(row["cfg_interval"]))
-                    if (ival == cfg_interval
-                            and row["uncond_refresh"] == uncond_refresh
-                            and row["num_steps"] == steps
-                            and row.get("time_shift", 1.0) == 1.0):
-                        return row["rel_final_latent_mse"]
-        except OSError:
-            continue
-    return None
+    if cfg_interval is None and uncond_refresh == 1 and steps == STEPS:
+        return 0.0, "always-CFG (identical by construction)"
+    row = load_schedule_drift(os.path.join(here, "artifacts")).get(
+        (steps, uncond_refresh, 1.0, cfg_interval))
+    if row is None:
+        return None, None
+    return row["rel_final_latent_mse"], row["reference"]
 
 
 def median(xs):
@@ -223,13 +215,21 @@ def main():
     def _attn(q, kv):
         return attention_flops(cfg.num_layers, cfg.hidden_size, q, kv)
 
-    kinds = list(step_kinds(sched)) if mode == "separate" else ["cfg"] * STEPS
-    uncond_evals = kinds.count("cfg")
-    cond_evals = len(kinds)  # every step evaluates the conditional branch
-    flops_serving = (
-        dense_model_flops(P, prefix) + _attn(prefix, prefix)       # prefill
-        + cond_evals * (dense_model_flops(P, tail) + _attn(tail, L_c))
-        + uncond_evals * (dense_model_flops(P, L_u) + _attn(L_u, L_u)))
+    if mode == "separate":
+        kinds = list(step_kinds(sched))
+        uncond_evals = kinds.count("cfg")
+        cond_evals = len(kinds)  # every step evaluates the cond branch
+        flops_serving = (
+            dense_model_flops(P, prefix) + _attn(prefix, prefix)  # prefill
+            + cond_evals * (dense_model_flops(P, tail) + _attn(tail, L_c))
+            + uncond_evals * (dense_model_flops(P, L_u) + _attn(L_u, L_u)))
+    else:
+        # batched mode: every step decodes the B=2 CFG pair's tails
+        # against the padded pair cache (L_pair + 1 pad slot)
+        flops_serving = (
+            dense_model_flops(P, prefix) + _attn(prefix, prefix)
+            + STEPS * (dense_model_flops(P, 2 * tail)
+                       + 2 * _attn(tail, L_pair + 1)))
     flops_uncached = STEPS * (dense_model_flops(P, 2 * L_pair)
                               + 2 * _attn(L_pair, L_pair))
     # what actually ran: batched mode is always-CFG by construction
@@ -243,7 +243,7 @@ def main():
                             z0[:N_GEN], REPS)
     t_uncached = bench_fn(uncached_clip, z0, max(REPS - 1, 1))
 
-    drift = frontier_drift(eff_ival, eff_refresh, STEPS)
+    drift, drift_ref = frontier_drift(eff_ival, eff_refresh, STEPS)
     out = {
         "metric": "generated frames/sec/chip (16-frame clip prediction, "
                   f"{N_CLEAN}-frame condition, {STEPS} steps, 176x320, CFG)",
@@ -254,6 +254,7 @@ def main():
         "serving_schedule": {"cfg_interval": eff_ival,
                              "uncond_refresh": eff_refresh},
         "serving_drift_rel_latent_mse": drift,
+        "serving_drift_reference": drift_ref,
         # analytic model-flops MFU (2PT dense + QK/PV attention, per
         # schedule-evaluated branch, / wall / bf16 peak for this
         # device_kind — utils/profiling.py). Attention term is an upper

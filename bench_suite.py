@@ -265,25 +265,16 @@ def bench_serving_frontier():
         return sample_separate_cfg(z0, denoise_pair, sched, cfg_scale=1.5,
                                    denoise_cond_fn=denoise_cond)
 
-    # drift per schedule from the committed frontier artifacts. r04 is the
-    # randomised-head sweep (scripts/cfg_drift.py); r05 is measured through
-    # TRAINED weights (scripts/quality_protocol.py) — iterate r04 first so
-    # trained-weight rows overwrite matching keys
-    drifts = {}
-    for name in ("drift_frontier_r04.jsonl", "drift_frontier_r05.jsonl"):
-        art = os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                           "artifacts", name)
-        try:
-            with open(art) as f:
-                for line in f:
-                    row = json.loads(line)
-                    drifts[(row["num_steps"], row["uncond_refresh"],
-                            row.get("time_shift", 1.0),
-                            tuple(row["cfg_interval"])
-                            if row.get("cfg_interval") else None)] = \
-                        row["rel_final_latent_mse"]
-        except OSError:
-            pass
+    # drift per schedule from the committed frontier artifacts — shared
+    # loader (utils/frontier.py): plain-teacher schedule rows ONLY
+    # (student-quality rows are a different quantity), trained-weights
+    # (r05) rows overwriting the randomised-head sweep (r04), each row
+    # keeping the reference trajectory it was measured against
+    from video_gpt_tpu.utils.frontier import (load_schedule_drift,
+                                              load_student_quality)
+    art_dir = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                           "artifacts")
+    drifts = load_schedule_drift(art_dir)
 
     # the 10-step uncached always-CFG run — the reference's own serving
     # algorithm (KV cache disabled, LVM/scheduler.py:174) — anchors every
@@ -309,18 +300,11 @@ def bench_serving_frontier():
         ts.append(time.perf_counter() - t0)
     t_base = _median(ts)
 
-    # distilled-student quality bound for the 4/5-step rows: the
-    # trained-weights protocol (scripts/quality_protocol.py) distills the
-    # trained teacher 10->5 and 8->4 and measures each student's final
-    # latents against the teacher's 50-step reference trajectory
-    student_mse = {}
-    try:
-        with open(os.path.join(
-                os.path.dirname(os.path.abspath(__file__)), "artifacts",
-                "quality_r05.json")) as f:
-            student_mse = json.load(f).get("students", {})
-    except OSError:
-        pass
+    # distilled-student quality bounds: the trained-weights protocol
+    # (scripts/quality_protocol.py) distills the trained teacher and
+    # measures each student's final latents against the teacher's 50-step
+    # reference trajectory
+    student_mse = load_student_quality(art_dir)
 
     schedules = [
         ("always-CFG 10 steps (reference semantics)", 10, 1),
@@ -341,8 +325,7 @@ def bench_serving_frontier():
             fn(params, clean, z0).block_until_ready()
             ts.append(time.perf_counter() - t0)
         t = _median(ts)
-        drift = (0.0 if (steps, k) == (10, 1)
-                 else drifts.get((steps, k, 1.0, None)))
+        drow = drifts.get((steps, k, 1.0, None))
         row = {
             "metric": f"serving frontier: {label} (16-frame clip, 8-frame "
                       "condition, 176x320, separate-CFG cached decode)",
@@ -350,7 +333,12 @@ def bench_serving_frontier():
             "unit": "frames/s/chip",
             "p50_latency_s": round(t, 4),
             "num_steps": steps, "uncond_refresh": k,
-            "drift_rel_latent_mse_vs_10step_alwayscfg": drift,
+            "drift_rel_latent_mse": (0.0 if (steps, k) == (10, 1)
+                                     else drow and
+                                     drow["rel_final_latent_mse"]),
+            "drift_reference": ("always-CFG (identical by construction)"
+                                if (steps, k) == (10, 1)
+                                else drow and drow["reference"]),
             "speedup_vs_uncached_10step_baseline": round(t_base / t, 3),
         }
         key = f"student{steps}@{steps}" + (f",k={k}" if k > 1 else "")

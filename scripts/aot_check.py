@@ -248,17 +248,20 @@ def aot_decode_leg(tp: int):
 def main():
     t0 = time.time()
     legs, ok = [], True
-    for fn in (aot_train_leg, lambda: aot_decode_leg(2),
-               lambda: aot_decode_leg(4),
-               # 16 chips over FOUR hosts: multi-host partitioning compiles
-               lambda: aot_train_leg(4, 2, 2, topology="v5e:4x4"),
-               # GPipe ppermute ring through the real TPU compiler
-               aot_pp_train_leg):
+    for name, fn in (
+            ("train_dp_sp_tp", aot_train_leg),
+            ("decode_tp2", lambda: aot_decode_leg(2)),
+            ("decode_tp4", lambda: aot_decode_leg(4)),
+            # 16 chips over FOUR hosts: multi-host partitioning compiles
+            ("train_multihost_v5e16",
+             lambda: aot_train_leg(4, 2, 2, topology="v5e:4x4")),
+            # GPipe ppermute ring through the real TPU compiler
+            ("train_dp_pp", aot_pp_train_leg)):
         try:
             legs.append(fn())
         except Exception as e:  # noqa: BLE001 — report and fail the run
             ok = False
-            legs.append({"leg": getattr(fn, "__name__", "decode"),
+            legs.append({"leg": name,
                          "error": f"{type(e).__name__}: {e}"[:500]})
     print(json.dumps({"aot_topology": "v5e:2x4", "ok": ok, "legs": legs,
                       "elapsed_s": round(time.time() - t0, 1)}))

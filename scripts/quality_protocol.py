@@ -374,7 +374,12 @@ def main():
                                 for r in rows
                                 if r["schedule"].startswith("steps=")}
     summary["students"] = {r["schedule"]: r["rel_final_latent_mse"]
-                           for r in student_rows}
+                           for r in student_rows
+                           if r["schedule"].startswith(("student",
+                                                        "gstudent"))}
+    summary["diagnostics"] = {r["schedule"]: r["rel_final_latent_mse"]
+                              for r in student_rows
+                              if r["schedule"].startswith("teacher")}
     summary["distill_guidance"] = 1.5
     summary["elapsed_s"] = round(time.time() - t0, 1)
     with open(os.path.join(REPO, "artifacts", f"quality_{TAG}.json"),
