@@ -301,3 +301,54 @@ def test_checkpoint_format_resolution(tmp_path):
     assert set(load_reference_checkpoint(str(d))) == {"d"}
     import os
     assert os.path.basename(resolve_checkpoint_path(str(d))) == "model.pt"
+
+
+def test_frontier_loader_separates_row_types(tmp_path):
+    """utils/frontier.py: student-quality rows must never shadow plain
+    teacher schedule rows (they are different quantities measured against
+    different references), and r05 trained-weight rows overwrite r04."""
+    import json
+
+    from video_gpt_tpu.utils.frontier import (load_schedule_drift,
+                                              load_student_quality)
+    r04 = [  # randomised-head sweep: no schedule/weights/reference fields
+        {"num_steps": 5, "uncond_refresh": 2, "time_shift": 1.0,
+         "cfg_interval": None, "rel_final_latent_mse": 0.002},
+        {"num_steps": 6, "uncond_refresh": 2, "time_shift": 1.0,
+         "cfg_interval": None, "rel_final_latent_mse": 0.003},
+    ]
+    r05 = [
+        {"weights": "trained", "schedule": "steps=5,k=2", "num_steps": 5,
+         "time_shift": 1.0, "cfg_interval": None, "uncond_refresh": 2,
+         "reference": "50-step always-CFG", "rel_final_latent_mse": 0.15},
+        {"weights": "trained+distilled", "schedule": "student5@5,k=2",
+         "num_steps": 5, "uncond_refresh": 2,
+         "reference": "50-step always-CFG (teacher)",
+         "rel_final_latent_mse": 0.11},
+        {"weights": "trained+guided-distilled", "schedule": "gstudent5@5",
+         "num_steps": 5, "uncond_refresh": 0,
+         "reference": "50-step always-CFG (teacher)",
+         "rel_final_latent_mse": 0.12},
+        {"weights": "trained", "schedule": "teacher_noCFG@10",
+         "num_steps": 10, "uncond_refresh": 0,
+         "reference": "50-step always-CFG (teacher)",
+         "rel_final_latent_mse": 0.5},
+    ]
+    with open(tmp_path / "drift_frontier_r04.jsonl", "w") as f:
+        f.writelines(json.dumps(r) + "\n" for r in r04)
+    with open(tmp_path / "drift_frontier_r05.jsonl", "w") as f:
+        f.writelines(json.dumps(r) + "\n" for r in r05)
+
+    drift = load_schedule_drift(str(tmp_path))
+    # r05 teacher row overwrites r04; the student5@5,k=2 row (same
+    # num_steps/uncond_refresh) must NOT shadow it
+    assert drift[(5, 2, 1.0, None)]["rel_final_latent_mse"] == 0.15
+    assert drift[(5, 2, 1.0, None)]["reference"] == "50-step always-CFG"
+    # r04-only rows survive with the sweep's implied reference
+    assert drift[(6, 2, 1.0, None)]["rel_final_latent_mse"] == 0.003
+    assert drift[(6, 2, 1.0, None)]["reference"] == "10-step always-CFG"
+    # diagnostics are not schedule rows
+    assert (10, 0, 1.0, None) not in drift
+
+    students = load_student_quality(str(tmp_path))
+    assert students == {"student5@5,k=2": 0.11, "gstudent5@5": 0.12}
