@@ -15,9 +15,9 @@ reference's torch path would only be slower than this baseline.
 Prints ONE JSON line carrying BOTH numbers: the headline ``value`` is the
 serving schedule (default ``uncond_refresh=3``: the uncond context is
 re-evaluated every 3rd step and its cached prediction reused in between —
-measured rel. final-latent drift 3.7e-4 vs always-CFG through a
-random-initialised network, artifacts/drift_frontier_r04.jsonl, 40x tighter
-than the round-3 cfg-interval default at the same cost), and
+rel. final-latent drift 3.9e-3 vs always-CFG measured THROUGH TRAINED
+WEIGHTS by scripts/quality_protocol.py, artifacts/drift_frontier_r05.jsonl;
+the r04 randomised-head sweep measured 3.7e-4), and
 ``always_cfg_*`` is reference semantics (guidance evaluated at every step,
 LVM/scheduler.py:187-199). BENCH_UNCOND_REFRESH=1 BENCH_CFG_INTERVAL=none
 makes the two identical.
@@ -45,10 +45,12 @@ STEPS = int(os.environ.get("BENCH_STEPS", 10))
 H, W = 176, 320
 REPS = int(os.environ.get("BENCH_REPS", 3))
 TINY = bool(int(os.environ.get("BENCH_TINY", "0")))
-# serving schedule knobs; drift vs always-CFG per schedule is measured by
-# scripts/cfg_drift.py (artifacts/drift_frontier_r04.jsonl). Default:
-# uncond_refresh=3, no interval — the drift-frontier winner (rel MSE
-# 3.7e-4 at 0.81x cost; the round-3 interval default measured 1.8e-2).
+# serving schedule knobs; drift vs always-CFG per schedule is measured
+# through trained weights by scripts/quality_protocol.py
+# (artifacts/drift_frontier_r05.jsonl; randomised-head sweep:
+# scripts/cfg_drift.py, r04). Default: uncond_refresh=3, no interval —
+# the drift-frontier winner (trained-weights rel MSE 3.9e-3 at 0.81x
+# cost; the round-3 interval default measured 1.3e-2).
 _ival = os.environ.get("BENCH_CFG_INTERVAL", "none")
 CFG_INTERVAL = (None if _ival in ("none", "") else
                 tuple(float(x) for x in _ival.split(",")))
@@ -269,8 +271,9 @@ def main():
                          "no-KV-cache full-recompute algorithm on the same "
                          "chip (reference publishes no numbers). value = "
                          "serving schedule (drift vs always-CFG measured "
-                         "by scripts/cfg_drift.py, committed at artifacts/"
-                         "drift_frontier_r04.jsonl); always_cfg_* = "
+                         "through trained weights by scripts/"
+                         "quality_protocol.py, committed at artifacts/"
+                         "drift_frontier_r05.jsonl); always_cfg_* = "
                          "reference semantics, guidance at every step.",
     }
     if t_always is not None:

@@ -45,9 +45,9 @@ VIDS = os.environ.get("BENCH_VIDS", "/root/reference/vids")
 STEPS = int(os.environ.get("BENCH_STEPS", 10))
 H, W = 176, 320
 # serving default, same as bench.py: uncond_refresh=3, no interval — the
-# drift-frontier winner (rel final-latent MSE 3.7e-4 vs always-CFG;
-# artifacts/drift_frontier_r04.jsonl). BENCH_UNCOND_REFRESH=1 restores
-# reference semantics.
+# drift-frontier winner (trained-weights rel final-latent MSE 3.9e-3 vs
+# always-CFG; artifacts/drift_frontier_r05.jsonl).
+# BENCH_UNCOND_REFRESH=1 restores reference semantics.
 _ival = os.environ.get("BENCH_CFG_INTERVAL", "none")
 CFG_INTERVAL = (None if _ival in ("none", "") else
                 tuple(float(x) for x in _ival.split(",")))

@@ -2,7 +2,7 @@
 
 The reference serves at 50 Euler steps (inference_nv.sh:30) and has no
 distillation path; the measured serving frontier of this framework
-(artifacts/drift_frontier_r04.jsonl, bench_suite `serving_frontier` leg)
+(artifacts/drift_frontier_r05.jsonl, bench_suite `serving_frontier` leg)
 shows the remaining throughput beyond schedule tricks lives in *step-count
 reduction*, which is a training-time change. This module is that change:
 progressive distillation (Salimans & Ho 2022, arXiv:2202.00512) adapted to
